@@ -1,0 +1,135 @@
+"""Standardized configurations and the per-maze experiment registry.
+
+Reference contract: ``Thesis/standardized_maze_config.py:8-37`` (STANDARDIZED_CONFIG),
+``Thesis/06_Utilities/fmsl_standardized_config.py:17-79`` (flat dict incl. SpecAugment
+keys). Per-model FMSL hyperparameter drift that the reference ships despite claiming
+standardization is preserved behind ``drift=True`` (SURVEY.md section 2.3: maze4/8
+s=2.0 m=0.05; maze5 s=2.0 m=0.1; maze6 n_proto=8 s=5.0 m=0.5; maze7 s=5.0 m=0.15).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+from adfmsl.config.base import (
+    ArchitectureConfig,
+    DataConfig,
+    ExperimentConfig,
+    FMSLConfig,
+    FrontendConfig,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    SpecAugmentConfig,
+    TrainConfig,
+    Wav2Vec2Config,
+)
+
+# The reference's drifted FMSL params per model (SURVEY.md 2.3). Canonical is
+# (n_prototypes=3, s=32.0, m=0.45).
+FMSL_DRIFT: Dict[str, Dict[str, Any]] = {
+    "maze4_fmsl": {"s": 2.0, "m": 0.05},
+    "maze5_fmsl": {"s": 2.0, "m": 0.1},
+    "maze6_fmsl": {"n_prototypes": 8, "s": 5.0, "m": 0.5},
+    "maze7_fmsl": {"s": 5.0, "m": 0.15},
+    "maze8_fmsl": {"s": 2.0, "m": 0.05},
+}
+
+# Integration mode per FMSL model (SURVEY.md section 2.3 Modes A/B/C).
+FMSL_MODES: Dict[str, str] = {
+    "main_fmsl": "replace",
+    "maze2_fmsl": "replace",
+    "maze3_fmsl": "replace",
+    "maze4_fmsl": "integrated",
+    "maze5_fmsl": "refine",
+    "maze6_fmsl": "replace",
+    "maze7_fmsl": "integrated",
+    "maze8_fmsl": "replace",
+}
+
+BASELINE_MODELS = ["main", "maze2", "maze3", "maze4", "maze5", "maze6", "maze7", "maze8"]
+FMSL_MODELS = [f"{m}_fmsl" for m in BASELINE_MODELS]
+ALL_MODELS = BASELINE_MODELS + FMSL_MODELS
+# Extra TPU-native model families beyond the reference zoo (BASELINE.json configs 1-2).
+EXTRA_MODELS = ["lcnn_lfcc", "resnet18_logmel"]
+
+
+def get_standardized_config(model_type: str = "baseline") -> Dict[str, Any]:
+    """Reference-compatible flat dict (standardized_maze_config.py:39-64)."""
+    exp = make_experiment("maze5_fmsl" if model_type == "fmsl" else "maze5", drift=False)
+    return exp.to_reference_dict()
+
+
+def _fmsl_for(name: str, drift: bool = True) -> FMSLConfig:
+    cfg = FMSLConfig(mode=FMSL_MODES.get(name, "replace"))
+    if drift and name in FMSL_DRIFT:
+        for k, v in FMSL_DRIFT[name].items():
+            setattr(cfg, k, v)
+    return cfg
+
+
+def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentConfig:
+    """Build the standardized ExperimentConfig for a registry model name."""
+    if name not in ALL_MODELS and name not in EXTRA_MODELS:
+        known = ", ".join(ALL_MODELS + EXTRA_MODELS)
+        raise KeyError(f"unknown model '{name}'; known: {known}")
+    is_fmsl = name.endswith("_fmsl")
+    w2v2_models = {"maze2", "maze3", "maze6", "maze7", "maze8"}
+    base = name[:-5] if is_fmsl else name
+
+    frontend = FrontendConfig(name="raw")
+    if base in w2v2_models:
+        frontend = FrontendConfig(name="wav2vec2")
+    elif base in {"main", "maze4", "maze5"}:
+        frontend = FrontendConfig(name="sinc")
+    elif name == "lcnn_lfcc":
+        frontend = FrontendConfig(name="lfcc", n_lfcc=60)
+    elif name == "resnet18_logmel":
+        frontend = FrontendConfig(name="logmel", n_mels=80)
+
+    w2v2 = Wav2Vec2Config()
+    if base == "maze6":
+        # maze6: wav2vec2-large multi-layer fusion w/ partial unfreezing (maze6.py:103-165)
+        w2v2 = Wav2Vec2Config(
+            model_name="facebook/wav2vec2-large-960h",
+            output_dim=1024,
+            freeze=False,
+            fusion_layers=[0, 6, 12, 18, 24],
+            unfreeze_last_n=2,
+        )
+
+    spec = SpecAugmentConfig(enabled=base in {"maze2", "maze4", "maze5", "maze6"})
+    if is_fmsl and base in {"maze4", "maze5"}:
+        spec.semantics = "reference_handrolled"
+
+    loss = LossConfig(name="weighted_ce", class_weights=[0.1, 0.9])
+    if base in {"maze2", "maze5", "maze6"}:
+        loss = LossConfig(name="focal_ce")
+    if is_fmsl:
+        loss = LossConfig(name="fmsl")
+
+    opt = OptimizerConfig(name="adamw" if (is_fmsl or base == "maze6") else "adam")
+    if base == "maze6":
+        opt.scheduler = "cosine"
+
+    exp = ExperimentConfig(
+        model=ModelConfig(
+            name=name,
+            architecture=ArchitectureConfig(),
+            wav2vec2=w2v2,
+            fmsl=_fmsl_for(name, drift) if is_fmsl else None,
+            spec_augment=spec,
+            frontend=frontend,
+        ),
+        data=DataConfig(),
+        train=TrainConfig(optimizer=opt, loss=loss),
+        mesh=MeshConfig(),
+    )
+    for k, v in overrides.items():
+        obj = exp
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], copy.deepcopy(v))
+    return exp

@@ -1,0 +1,13 @@
+from adfmsl.data.audio import load_audio, read_wav, resample, write_wav
+from adfmsl.data.pad import pad, tile_pad, tile_pad_device, zero_pad, zero_pad_device
+from adfmsl.data.pipeline import AsvspoofDataset, Batch, DataLoader, resolve_audio_path
+from adfmsl.data.protocol import Protocol, ProtocolEntry, gen_spoof_list, parse_protocol
+from adfmsl.data.synthetic import SyntheticSpec, generate_fixture
+
+__all__ = [
+    "load_audio", "read_wav", "resample", "write_wav",
+    "pad", "tile_pad", "tile_pad_device", "zero_pad", "zero_pad_device",
+    "AsvspoofDataset", "Batch", "DataLoader", "resolve_audio_path",
+    "Protocol", "ProtocolEntry", "gen_spoof_list", "parse_protocol",
+    "SyntheticSpec", "generate_fixture",
+]

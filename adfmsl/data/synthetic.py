@@ -1,0 +1,88 @@
+"""Synthetic ASVspoof-style fixture.
+
+The reference has no test fixtures at all (SURVEY.md section 4). This generator builds a
+miniature ASVspoof2019-LA-shaped directory — protocol files + WAV audio — where
+bonafide/spoof classes are *separable by construction* (bonafide = harmonic tones +
+noise, spoof = band-limited noise with a spectral notch), so end-to-end training tests
+can assert learning actually happens.
+
+Layout produced (mirrors the LA distribution the reference probes for, maze2.py:254-265):
+  root/
+    ASVspoof2019_LA_cm_protocols/ASVspoof2019.LA.cm.{train.trn,dev.trl,eval.trl}.txt
+    ASVspoof2019_LA_{train,dev,eval}/flac/<utt>.wav   (WAV; '.flac' naming optional)
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from adfmsl.data.audio import write_wav
+
+ATTACKS = ["A01", "A02", "A03", "A04", "A05", "A06"]
+
+
+@dataclass
+class SyntheticSpec:
+    n_train: int = 24
+    n_dev: int = 12
+    n_eval: int = 16
+    sample_rate: int = 16000
+    duration: float = 1.0       # keep fixtures small; pad() tiles to 64600 anyway
+    seed: int = 0
+
+
+def _bonafide(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    t = np.arange(n) / sr
+    f0 = rng.uniform(110.0, 220.0)
+    x = sum(
+        rng.uniform(0.2, 0.5) / (k + 1) * np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 2 * np.pi))
+        for k in range(4)
+    )
+    return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _spoof(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    x = rng.standard_normal(n).astype(np.float32)
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    spec[(freqs > 1000) & (freqs < 3000)] *= 0.05   # spectral notch fingerprint
+    spec[freqs > 6000] *= 0.1
+    x = np.fft.irfft(spec, n).astype(np.float32)
+    return 0.3 * x / (np.abs(x).max() + 1e-9)
+
+
+def generate_fixture(root: str, spec: SyntheticSpec = SyntheticSpec()) -> dict:
+    rng = np.random.default_rng(spec.seed)
+    proto_dir = os.path.join(root, "ASVspoof2019_LA_cm_protocols")
+    os.makedirs(proto_dir, exist_ok=True)
+    n = int(spec.duration * spec.sample_rate)
+    info = {}
+    splits = [
+        ("train", "trn", spec.n_train),
+        ("dev", "trl", spec.n_dev),
+        ("eval", "trl", spec.n_eval),
+    ]
+    for split, tag, count in splits:
+        audio_dir = os.path.join(root, f"ASVspoof2019_LA_{split}", "flac")
+        os.makedirs(audio_dir, exist_ok=True)
+        lines: List[str] = []
+        utts = []
+        for i in range(count):
+            utt = f"LA_{split[0].upper()}_{i:07d}"
+            bona = i % 2 == 0
+            # vary length so pad paths are exercised
+            ln = n + int(rng.integers(-n // 4, n // 4))
+            x = _bonafide(rng, ln, spec.sample_rate) if bona else _spoof(rng, ln, spec.sample_rate)
+            write_wav(os.path.join(audio_dir, utt + ".wav"), x, spec.sample_rate)
+            attack = "-" if bona else ATTACKS[i % len(ATTACKS)]
+            label = "bonafide" if bona else "spoof"
+            lines.append(f"LA_{i:04d} {utt} - {attack} {label}")
+            utts.append(utt)
+        proto_path = os.path.join(proto_dir, f"ASVspoof2019.LA.cm.{split}.{tag}.txt")
+        with open(proto_path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        info[split] = {"protocol": proto_path, "audio_dir": audio_dir, "utt_ids": utts}
+    return info
