@@ -23,3 +23,20 @@ Package map (mirrors SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the big maze programs take minutes to compile on
+# TPU (sinc conv over 64,600 samples); caching makes every run after the first start
+# instantly. Opt out with ADFMSL_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ADFMSL_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "ADFMSL_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "adfmsl_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these options
+        pass

@@ -1,0 +1,77 @@
+"""adfmsl-eval: standalone evaluation harness.
+
+Replaces the per-model eval scripts (Maze{2,3,5,6,7,8}_Eval.py — SURVEY.md 2.6):
+``--model_type mazeN|mazeN_fmsl --model_path <ckpt_dir>`` rebuilds the architecture,
+restores the checkpoint, smoke-tests a synthetic forward pass (the reference's
+test_model_forward_pass, Maze5_eval.py:269-320), streams the eval protocol, writes the
+score file, and reports EER / min-DCF / min t-DCF.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("adfmsl-eval")
+    p.add_argument("--model_type", required=True, help="registry model name")
+    p.add_argument("--model_path", default=None, help="checkpoint dir (optional)")
+    p.add_argument("--protocol", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output", default=None, help="score file path")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--no_drift", action="store_true")
+    p.add_argument("--smoke_test", action="store_true",
+                   help="synthetic forward-pass check before evaluation")
+    return p
+
+
+def smoke_test(trainer) -> bool:
+    """Synthetic forward (Maze5_eval.py:269-320 analog): shapes + finiteness."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, trainer.exp.data.cut)).astype(np.float32))
+    out = trainer.eval_step(trainer.state, x, jnp.zeros(2, dtype=jnp.int32),
+                            jnp.ones(2, dtype=bool))
+    ok = (out["scores"].shape == (2,)
+          and bool(np.isfinite(np.asarray(out["scores"])).all()))
+    logging.info("smoke test %s: scores %s", "OK" if ok else "FAILED",
+                 np.asarray(out["scores"]))
+    return ok
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from adfmsl.config import make_experiment
+    from adfmsl.data import parse_protocol
+    from adfmsl.evaluation import evaluate_to_file
+    from adfmsl.train import Trainer, make_dataset_and_loader
+
+    exp = make_experiment(args.model_type, drift=not args.no_drift)
+    proto = parse_protocol(args.protocol, exp.data.label_polarity)
+    loader = make_dataset_and_loader(exp, proto, args.data_dir, shuffle=False,
+                                     batch_size=args.batch_size, drop_last=False)
+    trainer = Trainer(exp, loader, checkpoint_dir=args.model_path)
+    if args.model_path:
+        trainer.state, epoch = trainer.ckpt.restore(trainer.state)
+        logging.info("restored %s epoch %d", args.model_path, epoch)
+    if args.smoke_test and not smoke_test(trainer):
+        return 1
+    out_path = args.output or f"{args.model_type}_scores.txt"
+    res = evaluate_to_file(trainer.state, loader, out_path,
+                           labels=proto.labels or None,
+                           eval_step=trainer.eval_step)
+    if res.metrics:
+        print({k: round(v, 6) if isinstance(v, float) else v
+               for k, v in res.metrics.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""adfmsl-train: the CLI entry point replacing each maze script's argparse block
+(maze2.py:378-396 flag contract: --database_path, --protocols_path, --batch_size,
+--lr, --num_epochs, --seed, --eval, --eval_output, --track, --model_path) plus
+--model to select any registry architecture and --config for YAML."""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("adfmsl-train")
+    p.add_argument("--model", default="maze5", help="registry model name")
+    p.add_argument("--config", default=None, help="YAML ExperimentConfig path")
+    p.add_argument("--database_path", required=False, default="data/")
+    p.add_argument("--protocols_path", required=False, default="protocols/")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--track", default="LA", choices=["LA", "PA", "DF"])
+    p.add_argument("--eval", action="store_true", help="produce score file and exit")
+    p.add_argument("--eval_output", default="scores.txt")
+    p.add_argument("--eval_protocol", default=None)
+    p.add_argument("--eval_dir", default=None)
+    p.add_argument("--train_protocol", default=None)
+    p.add_argument("--train_dir", default=None)
+    p.add_argument("--dev_protocol", default=None)
+    p.add_argument("--dev_dir", default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--restore", action="store_true",
+                   help="resume from latest checkpoint in --checkpoint_dir")
+    p.add_argument("--no_drift", action="store_true",
+                   help="use canonical FMSL params instead of reference drift")
+    return p
+
+
+def _default_paths(args, split: str, tag: str):
+    proto = os.path.join(
+        args.protocols_path, f"ASVspoof2019.{args.track}.cm.{split}.{tag}.txt")
+    audio = os.path.join(args.database_path, f"ASVspoof2019_{args.track}_{split}")
+    return proto, audio
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    args = build_parser().parse_args(argv)
+
+    from adfmsl.config import load_yaml, make_experiment
+    from adfmsl.data import parse_protocol
+    from adfmsl.evaluation import evaluate_to_file
+    from adfmsl.train import Trainer, make_dataset_and_loader
+
+    if args.config:
+        exp = load_yaml(args.config)
+    else:
+        exp = make_experiment(args.model, drift=not args.no_drift)
+    for flag, path in [("batch_size", "train.batch_size"), ("lr", "train.optimizer.lr"),
+                       ("num_epochs", "train.num_epochs"), ("seed", "train.seed")]:
+        v = getattr(args, flag)
+        if v is not None:
+            obj = exp
+            parts = path.split(".")
+            for q in parts[:-1]:
+                obj = getattr(obj, q)
+            setattr(obj, parts[-1], v)
+    exp.data.database_path = args.database_path
+    exp.data.protocols_path = args.protocols_path
+    exp.data.track = args.track
+
+    train_proto_path = args.train_protocol or _default_paths(args, "train", "trn")[0]
+    train_dir = args.train_dir or _default_paths(args, "train", "trn")[1]
+    dev_proto_path = args.dev_protocol or _default_paths(args, "dev", "trl")[0]
+    dev_dir = args.dev_dir or _default_paths(args, "dev", "trl")[1]
+
+    train_proto = parse_protocol(train_proto_path, exp.data.label_polarity)
+    train_loader = make_dataset_and_loader(exp, train_proto, train_dir, shuffle=True)
+    dev_loader = None
+    if os.path.exists(dev_proto_path):
+        dev_proto = parse_protocol(dev_proto_path, exp.data.label_polarity)
+        dev_loader = make_dataset_and_loader(exp, dev_proto, dev_dir, shuffle=False,
+                                             batch_size=exp.train.eval_batch_size,
+                                             drop_last=False)
+
+    trainer = Trainer(exp, train_loader, dev_loader,
+                      checkpoint_dir=args.checkpoint_dir)
+    if args.restore and args.checkpoint_dir:
+        trainer.state, epoch = trainer.ckpt.restore(trainer.state)
+        logging.info("restored checkpoint epoch %d", epoch)
+
+    if args.eval:
+        eval_proto_path = args.eval_protocol or _default_paths(args, "eval", "trl")[0]
+        eval_dir = args.eval_dir or _default_paths(args, "eval", "trl")[1]
+        eval_proto = parse_protocol(eval_proto_path, exp.data.label_polarity)
+        loader = make_dataset_and_loader(exp, eval_proto, eval_dir, shuffle=False,
+                                         batch_size=exp.train.eval_batch_size,
+                                         drop_last=False)
+        res = evaluate_to_file(trainer.state, loader, args.eval_output,
+                               labels=eval_proto.labels or None,
+                               eval_step=trainer.eval_step)
+        if res.metrics:
+            print({k: round(v, 6) if isinstance(v, float) else v
+                   for k, v in res.metrics.items()})
+        return 0
+
+    trainer.fit()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,10 @@ class ArchitectureConfig:
     first_conv: int = 251          # sinc kernel size (odd)
     dropout_rate: float = 0.3
     fc_dropout: float = 0.5
+    # 'textbook' = real windowed-sinc band-pass (default: the reference's formula is
+    # nearly flat across taps — see ops/sinc.py — and carries almost no spectral
+    # information); 'reference' reproduces maze4.py:93-95 bit-for-bit for parity.
+    sinc_formula: str = "textbook"
 
 
 @dataclass

@@ -106,7 +106,9 @@ def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentCon
     loss = LossConfig(name="weighted_ce", class_weights=[0.1, 0.9])
     if base in {"maze2", "maze5", "maze6"}:
         loss = LossConfig(name="focal_ce")
-    if is_fmsl:
+    # FMSL modes B ('replace') and C ('integrated') compute loss inside the model;
+    # mode A ('refine', maze5_fmsl) keeps the baseline's external loss.
+    if is_fmsl and FMSL_MODES.get(name) != "refine":
         loss = LossConfig(name="fmsl")
 
     opt = OptimizerConfig(name="adamw" if (is_fmsl or base == "maze6") else "adam")

@@ -1,0 +1,31 @@
+from adfmsl.evaluation.bootstrap import (
+    BootstrapResult,
+    bootstrap_metric,
+    paired_bootstrap_test,
+)
+from adfmsl.evaluation.metrics import (
+    TDCFCosts,
+    accuracy_at_threshold,
+    auc_score,
+    average_precision,
+    compute_all_metrics,
+    compute_eer,
+    min_tdcf,
+    roc_points,
+    simplified_min_dcf,
+)
+from adfmsl.evaluation.runner import EvalResult, evaluate_to_file, produce_scores
+from adfmsl.evaluation.scores import (
+    join_scores_with_labels,
+    read_score_file,
+    write_score_file,
+)
+
+__all__ = [
+    "BootstrapResult", "bootstrap_metric", "paired_bootstrap_test",
+    "TDCFCosts", "accuracy_at_threshold", "auc_score", "average_precision",
+    "compute_all_metrics", "compute_eer", "min_tdcf", "roc_points",
+    "simplified_min_dcf",
+    "EvalResult", "evaluate_to_file", "produce_scores",
+    "join_scores_with_labels", "read_score_file", "write_score_file",
+]

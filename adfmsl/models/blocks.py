@@ -1,0 +1,199 @@
+"""Shared Flax building blocks for the maze model zoo.
+
+Re-designs of the blocks the reference copy-pastes into every model file (SURVEY.md
+2.2), in JAX's (B, T, C) channels-last layout so convs lower directly to MXU-friendly
+XLA convolutions:
+- SEBlock           <- maze4.py:149-163 (AdaptiveAvgPool1d -> FC r=16 -> sigmoid)
+- ResBlockSE        <- maze4.py:105-147 (pre-act BN/ReLU/Conv1d k3 x2, 1x1 downsample,
+                       AvgPool stride) with optional internal SE (maze3.py:206-263)
+- AttentiveStatsPooling <- maze6.py:167-180 (MLP attention -> mean || std, 2C out)
+- TransformerEncoderStack <- maze3_fmsl_standardized.py:98-137 (in-proj, learned pos
+                       embedding (max 1000), torch-style post-LN encoder, out-proj)
+- ConvFMSLLayer     <- maze8.py:76-131 (the old conv "FMSL": freq-modulation conv,
+                       spectral-enhancement conv, channel attention, residual)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excitation over the time axis; reduction 16 (maze4.py:149-163)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
+        s = jnp.mean(x, axis=1)                         # (B, C)
+        s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1), name="fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
+        return x * s[:, None, :]
+
+
+class ResBlockSE(nn.Module):
+    """Pre-activation 1-D residual block with optional SE gating.
+
+    BN -> ReLU -> Conv(k3) -> BN -> ReLU -> Dropout -> Conv(k3); 1x1 conv matches
+    channel changes; stride>1 applies AvgPool to both paths (maze4.py:105-147).
+    ``first=True`` skips the leading BN/ReLU as the reference does for stack heads.
+    """
+
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    dropout_rate: float = 0.3
+    first: bool = False
+    use_se: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = x
+        if not self.first:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+            h = nn.relu(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv2")(h)
+
+        skip = x
+        if self.in_channels != self.out_channels:
+            skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                           name="downsample")(skip)
+        out = h + skip
+        if self.use_se:
+            out = SEBlock(self.out_channels, name="se")(out)
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride,), strides=(self.stride,))
+        return out
+
+
+class ResStack(nn.Module):
+    """A stack of ResBlockSE with per-block (in, out, stride)."""
+
+    specs: Sequence[tuple]          # [(cin, cout, stride), ...]
+    dropout_rate: float = 0.3
+    use_se: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, (cin, cout, stride) in enumerate(self.specs):
+            x = ResBlockSE(cin, cout, stride, self.dropout_rate, first=(i == 0),
+                           use_se=self.use_se, dtype=self.dtype,
+                           name=f"block{i}")(x, train=train)
+        return x
+
+
+class AttentiveStatsPooling(nn.Module):
+    """Attention-weighted mean || std over time -> (B, 2C) (maze6.py:167-180)."""
+
+    channels: int
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T, C)
+        a = nn.tanh(nn.Dense(self.hidden, name="att1")(x))
+        a = nn.Dense(1, name="att2")(a)                  # (B, T, 1)
+        w = jax.nn.softmax(a, axis=1)
+        mean = jnp.sum(w * x, axis=1)
+        var = jnp.sum(w * (x - mean[:, None, :]) ** 2, axis=1)
+        std = jnp.sqrt(jnp.maximum(var, 1e-9))
+        return jnp.concatenate([mean, std], axis=-1)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer semantics: post-LN, ReLU FFN."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int = 2048
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype,
+            dropout_rate=self.dropout_rate, deterministic=not train,
+            name="self_attn")(x, x)
+        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(
+            self.dropout_rate, deterministic=not train)(attn))
+        ff = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout_rate, deterministic=not train)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(ff)
+        return nn.LayerNorm(name="norm2")(x + nn.Dropout(
+            self.dropout_rate, deterministic=not train)(ff))
+
+
+class TransformerEncoderStack(nn.Module):
+    """in-proj -> learned positional embedding (max_len param) -> N layers ->
+    out-proj (maze3_fmsl_standardized.py:98-137; d=256 h=8 ff=2048 in maze2)."""
+
+    in_dim: int
+    d_model: int = 256
+    n_heads: int = 8
+    n_layers: int = 6
+    d_ff: int = 2048
+    out_dim: Optional[int] = None
+    max_len: int = 1000
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):          # (B, T, C)
+        t = x.shape[1]
+        if t > self.max_len:
+            raise ValueError(f"sequence length {t} exceeds max_len {self.max_len}")
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="in_proj")(x)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (self.max_len, self.d_model))
+        h = h + pos[None, :t, :]
+        for i in range(self.n_layers):
+            h = TransformerEncoderLayer(self.d_model, self.n_heads, self.d_ff,
+                                        self.dropout_rate, dtype=self.dtype,
+                                        name=f"layer{i}")(h, train=train)
+        out_dim = self.out_dim or self.in_dim
+        return nn.Dense(out_dim, dtype=self.dtype, name="out_proj")(h)
+
+
+class ConvFMSLLayer(nn.Module):
+    """maze8's original conv 'FMSL' (maze8.py:76-131): depth of processing kept, but
+    note the FMSL-standardized models deliberately dropped it as 'not true geometric
+    manifold shaping' (maze4_fmsl_standardized.py:229). Baseline maze8 parity only."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):          # (B, T, C)
+        mod = nn.Conv(self.channels, (3,), padding="SAME", name="freq_mod")(x)
+        mod = nn.tanh(mod)
+        enh = nn.Conv(self.channels, (5,), padding="SAME", name="spectral_enh")(x * mod)
+        enh = nn.relu(enh)
+        att = jnp.mean(enh, axis=1)
+        att = nn.sigmoid(nn.Dense(self.channels, name="channel_att")(att))
+        out = nn.Conv(self.channels, (1,), name="out_proj")(enh * att[:, None, :])
+        return x + out
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU over (B, T, C) via lax.scan (RawNet2 trunk; the reference
+    relies on cuDNN nn.GRU — main_fmsl_standardized.py:101-157)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        cell = nn.GRUCell(features=self.hidden, name="cell")
+        rnn = nn.RNN(cell, name="rnn")
+        return rnn(x)                                    # (B, T, H)

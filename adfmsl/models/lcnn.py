@@ -1,0 +1,75 @@
+"""LCNN (Light CNN with Max-Feature-Map) on LFCC features.
+
+BASELINE.json config #1: "LFCC (60-dim) + small LCNN binary bonafide/spoof". The
+reference repo itself has no LCNN; this follows the standard ASVspoof-baseline LCNN
+shape (MFM conv stacks + NIN 1x1 layers + max-pool), operating on the on-device LFCC
+front end (adfmsl.ops.lfcc). Input (B, T) raw audio; features (B, frames, n_lfcc)
+treated as a 2-D image (frames x coeffs x 1).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adfmsl.config.base import ModelConfig
+from adfmsl.models.mazes import model_registry
+from adfmsl.ops.cmvn import cmvn
+from adfmsl.ops.lfcc import lfcc
+
+
+def mfm(x: jnp.ndarray) -> jnp.ndarray:
+    """Max-Feature-Map: split channels in half, take elementwise max."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.maximum(a, b)
+
+
+class LCNN(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, labels=None, train: bool = False, mask=None):
+        fe = self.cfg.frontend
+        feats = lfcc(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
+                     fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps)
+        if fe.cmvn:
+            feats = cmvn(feats)
+        h = feats[..., None]                             # (B, F, C, 1)
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+        def conv(ch, k, s=1, name=""):
+            return nn.Conv(ch, (k, k), strides=(s, s), padding="SAME", dtype=dtype,
+                           name=name)
+
+        h = mfm(conv(64, 5, name="conv1")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = mfm(conv(64, 1, name="nin1")(h))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = mfm(conv(96, 3, name="conv2")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = mfm(conv(96, 1, name="nin2")(h))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn3")(h)
+        h = mfm(conv(128, 3, name="conv3")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = mfm(conv(128, 1, name="nin3")(h))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn4")(h)
+        h = mfm(conv(64, 3, name="conv4")(h))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn5")(h)
+        h = mfm(conv(64, 3, name="conv5")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+
+        h = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)  # global avg pool
+        h = mfm(nn.Dense(160, name="fc1")(h))
+        h = nn.Dropout(0.5, deterministic=not train)(h)
+        logits = nn.Dense(self.cfg.architecture.nb_classes, name="fc2")(h)
+        return {
+            "logits": logits,
+            "scores": jax.nn.log_softmax(logits, axis=-1)[:, 1],
+            "features": h,
+        }
+
+
+model_registry.register("lcnn_lfcc", lambda cfg: LCNN(cfg=cfg))

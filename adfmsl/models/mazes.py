@@ -1,0 +1,246 @@
+"""The maze model zoo: one composable architecture, 16+ registry entries.
+
+The reference ships 16 standalone files each re-assembling the same parts (SURVEY.md
+2.4). Here a single ``MazeModel`` composes: front end (SincConv / Wav2Vec2 /
+RawNet encoder) -> optional 1x1 projection -> SpecAugment -> SE-residual trunk ->
+optional Transformer -> pooling (avg / attentive-stats) -> classifier or FMSL head.
+Per-maze wiring lives in declarative ``MazeSpec`` entries citing the reference file
+each reproduces.
+
+Output contract (all models): dict with
+  'logits'  (B, 2) raw logits,
+  'scores'  (B,)   the per-utterance CM score EXACTLY as the reference's eval writes it
+                   (log-softmax[:,1] for LogSoftmax models — maze2.py:333-343 —
+                   or raw logit[:,1] for maze6-style raw-logit models),
+  'features'(B, D) pooled embedding,
+  'loss'    scalar, present when the model computes its own loss (FMSL modes B/C)
+            and labels were given.
+Canonical label polarity: bonafide=1, spoof=0.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adfmsl.config.base import FMSLConfig, ModelConfig
+from adfmsl.heads.fmsl import FMSLHead
+from adfmsl.models.blocks import (
+    AttentiveStatsPooling,
+    ConvFMSLLayer,
+    ResStack,
+    TransformerEncoderStack,
+)
+from adfmsl.models.rawnet import RawNetEncoder
+from adfmsl.models.sincnet import SincConv
+from adfmsl.models.w2v2 import W2V2Arch, Wav2Vec2Encoder
+from adfmsl.ops.specaugment import spec_augment
+from adfmsl.utils.registry import Registry
+
+model_registry = Registry("model")
+
+
+@dataclass(frozen=True)
+class MazeSpec:
+    name: str
+    frontend: str                                   # 'sinc' | 'w2v2' | 'rawnet'
+    ref: str = ""                                   # reference file reproduced
+    proj_dim: Optional[int] = None                  # 1x1 conv after front end
+    first_bn_act: Optional[str] = None              # 'selu' | 'relu' after front end
+    blocks: Tuple[Tuple[int, int, int], ...] = ()   # (cin, cout, stride)
+    transformer: Optional[Tuple[int, int, int, int]] = None   # (d, heads, layers, ff)
+    conv_fmsl: bool = False                         # maze8's old conv FMSL layer
+    pooling: str = "avg"                            # 'avg' | 'asp'
+    fc1: Optional[int] = 1024
+    score: str = "log_softmax"                      # 'log_softmax' | 'logit'
+    fmsl_input_dim: int = 512                       # Dense before FMSLHead
+    fusion_layers: Optional[Tuple[int, ...]] = None # maze6 w2v2 taps
+
+
+def _pooled_dim(spec: MazeSpec, trunk_dim: int) -> int:
+    return 2 * trunk_dim if spec.pooling == "asp" else trunk_dim
+
+
+class MazeModel(nn.Module):
+    spec: MazeSpec
+    cfg: ModelConfig
+
+    def _w2v2_arch(self) -> W2V2Arch:
+        w = self.cfg.wav2vec2
+        if w.model_name == "tiny":
+            return W2V2Arch.tiny()
+        if w.output_dim >= 1024:
+            return W2V2Arch.large_960h()
+        return W2V2Arch.base()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
+                 train: bool = False, mask: Optional[jnp.ndarray] = None):
+        spec, cfg = self.spec, self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        out = {}
+
+        # ---- front end -> (B, T, C) or (B, D) for rawnet -------------------------
+        if spec.frontend == "rawnet":
+            feats = RawNetEncoder(sinc_channels=cfg.architecture.filts[0],
+                                  sinc_kernel=cfg.architecture.first_conv,
+                                  feature_dim=cfg.architecture.nb_fc_node,
+                                  sinc_formula=cfg.architecture.sinc_formula,
+                                  name="encoder")(x, train=train)
+            pooled = feats
+        else:
+            if spec.frontend == "sinc":
+                h = SincConv(cfg.architecture.filts[0], cfg.architecture.first_conv,
+                             cfg.architecture.sample_rate,
+                             formula=cfg.architecture.sinc_formula, name="sinc")(x)
+            elif spec.frontend == "w2v2":
+                enc = Wav2Vec2Encoder(arch=self._w2v2_arch(), dtype=dtype,
+                                      name="wav2vec2")
+                if spec.fusion_layers:
+                    _, hs = enc(x, train=train, output_hidden_states=True)
+                    taps = [hs[min(i, len(hs) - 1)] for i in spec.fusion_layers]
+                    h = jnp.concatenate(taps, axis=-1)     # (B, T, n_taps*H)
+                else:
+                    h = enc(x, train=train)
+                if cfg.wav2vec2.freeze:
+                    h = jax.lax.stop_gradient(h)
+            else:
+                raise ValueError(f"unknown frontend {spec.frontend!r}")
+
+            if spec.proj_dim:
+                h = nn.Conv(spec.proj_dim, (1,), dtype=dtype, name="proj")(h)
+            if spec.first_bn_act:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
+                h = nn.selu(h) if spec.first_bn_act == "selu" else nn.relu(h)
+
+            if cfg.spec_augment.enabled and train:
+                sa = cfg.spec_augment
+                key = self.make_rng("specaugment")
+                # features are (B, T, C): C is the freq/channel axis
+                ht = jnp.transpose(h, (0, 2, 1))
+                ht = spec_augment(ht, key, sa.freq_mask_param, sa.time_mask_param,
+                                  sa.n_freq_masks, sa.n_time_masks, sa.semantics)
+                h = jnp.transpose(ht, (0, 2, 1))
+
+            if spec.conv_fmsl:
+                h = ConvFMSLLayer(h.shape[-1], name="conv_fmsl")(h, train=train)
+
+            if spec.blocks:
+                h = ResStack(spec.blocks, cfg.architecture.dropout_rate,
+                             dtype=dtype, name="trunk")(h, train=train)
+
+            if spec.transformer:
+                d, heads, layers, ff = spec.transformer
+                h = TransformerEncoderStack(
+                    in_dim=h.shape[-1], d_model=d, n_heads=heads, n_layers=layers,
+                    d_ff=ff, out_dim=h.shape[-1], dtype=dtype,
+                    name="transformer")(h, train=train)
+
+            if spec.pooling == "asp":
+                pooled = AttentiveStatsPooling(h.shape[-1], name="asp")(h)
+            else:
+                pooled = jnp.mean(h, axis=1)
+            pooled = pooled.astype(jnp.float32)
+
+        # ---- head ----------------------------------------------------------------
+        fmsl_cfg = cfg.fmsl
+        if fmsl_cfg is None:
+            feats = pooled
+            if spec.fc1:
+                feats = nn.Dense(spec.fc1, name="fc1")(pooled)
+                feats = nn.Dropout(cfg.architecture.fc_dropout,
+                                   deterministic=not train)(feats)
+            logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(feats)
+            out["features"] = feats
+        else:
+            fdim = spec.fmsl_input_dim
+            feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
+            head = FMSLHead(fmsl_cfg, input_dim=fdim, name="fmsl")
+            fout = head(feats, labels=labels, train=train, mask=mask)
+            out["features"] = fout["embeddings"]
+            out["prototype_similarity"] = fout["prototype_similarity"]
+            if fmsl_cfg.mode == "refine":
+                # Mode A (maze5_fmsl_standardized.py:324-332): embeddings feed the
+                # original classifier; loss stays external.
+                h2 = nn.Dense(spec.fc1 or 1024, name="fc1")(fout["embeddings"])
+                h2 = nn.Dropout(cfg.architecture.fc_dropout,
+                                deterministic=not train)(h2)
+                logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(h2)
+            else:
+                logits = fout["logits"]
+                if labels is not None:
+                    out["loss"] = (fout["loss"] if fmsl_cfg.mode == "integrated"
+                                   else fout["ce_loss"])
+
+        out["logits"] = logits
+        if spec.score == "log_softmax":
+            out["scores"] = jax.nn.log_softmax(logits, axis=-1)[:, 1]
+        else:
+            out["scores"] = logits[:, 1]
+        return out
+
+
+# -------------------------------------------------------------------------------
+# Registry entries (block plans follow the reference assemblies, SURVEY.md 2.4)
+# -------------------------------------------------------------------------------
+
+_SINC_BLOCKS = ((128, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
+                (128, 256, 2))                       # maze4.py:192-210
+_W2V2_BLOCKS_6 = ((768, 128, 1), (128, 128, 2), (128, 128, 2), (128, 256, 2),
+                  (256, 256, 2), (256, 256, 2))      # maze2.py:119-193 (6 blocks)
+_W2V2_BLOCKS_3 = ((128, 128, 1), (128, 128, 1), (128, 128, 1))  # maze3.py:101-164
+
+SPECS = {
+    "main": MazeSpec("main", "rawnet", ref="01_Baseline_Models/main.py:182",
+                     score="log_softmax"),
+    "maze2": MazeSpec("maze2", "w2v2", ref="maze2.py:119-193",
+                      blocks=_W2V2_BLOCKS_6, transformer=(256, 8, 6, 2048),
+                      first_bn_act="selu", fc1=1024),
+    "maze3": MazeSpec("maze3", "w2v2", ref="maze3.py:101-164", proj_dim=128,
+                      blocks=_W2V2_BLOCKS_3, fc1=256, score="logit"),
+    "maze4": MazeSpec("maze4", "sinc", ref="maze4.py:165-247",
+                      first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
+    "maze5": MazeSpec("maze5", "sinc", ref="maze5.py:178-264",
+                      first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
+    "maze6": MazeSpec("maze6", "w2v2", ref="maze6.py:182-267", proj_dim=256,
+                      first_bn_act="relu",
+                      blocks=((256, 256, 1), (256, 256, 2)),
+                      transformer=(256, 8, 4, 1024), pooling="asp",
+                      fc1=256, score="logit",
+                      fusion_layers=(0, 6, 12, 18, 24)),
+    "maze7": MazeSpec("maze7", "w2v2", ref="maze7.py:144-217", proj_dim=128,
+                      blocks=_W2V2_BLOCKS_3, fc1=1024),
+    "maze8": MazeSpec("maze8", "w2v2", ref="maze8.py:193-277", proj_dim=128,
+                      blocks=_W2V2_BLOCKS_3, conv_fmsl=True, fc1=1024),
+}
+
+_FMSL_DIMS = {
+    # fmsl head input dims per reference wiring (SURVEY.md 2.4)
+    "main": 1024,     # fc1_gru output (main_fmsl_standardized.py:160)
+    "maze2": 512,     # lazy Linear->512 (maze2_fmsl_standardized.py:466-470)
+    "maze3": 256,     # maze3_fmsl_standardized.py:139-256
+    "maze4": 256,     # maze4_fmsl_standardized.py:216-347 (pooled trunk dim)
+    "maze5": 256,     # refine mode, maze5_fmsl_standardized.py:214-332
+    "maze6": 512,     # ASP 2x256 (maze6_fmsl_standardized.py:286-288)
+    "maze7": 256,
+    "maze8": 256,
+}
+
+for base, s in list(SPECS.items()):
+    SPECS[f"{base}_fmsl"] = MazeSpec(
+        f"{base}_fmsl", s.frontend, ref=s.ref + " + fmsl_advanced.py:103-359",
+        proj_dim=s.proj_dim, first_bn_act=s.first_bn_act, blocks=s.blocks,
+        transformer=s.transformer, conv_fmsl=False, pooling=s.pooling, fc1=s.fc1,
+        score=s.score, fmsl_input_dim=_FMSL_DIMS[base],
+        fusion_layers=s.fusion_layers)
+
+for _name, _spec in SPECS.items():
+    model_registry.register(_name, (lambda sp: lambda cfg: MazeModel(spec=sp, cfg=cfg))(_spec))
+
+
+def build_model(cfg: ModelConfig) -> nn.Module:
+    """Build any registry model from its ModelConfig."""
+    return model_registry.get(cfg.name)(cfg)

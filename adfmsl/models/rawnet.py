@@ -1,0 +1,86 @@
+"""RawNet2 encoder (the 'main' model's backbone).
+
+The reference imports RawNet from the external ASVspoof-2021 baseline codebase
+(``01_Baseline_Models/main.py:11`` — module absent from the repo); its topology is
+reconstructed from the layer-by-layer re-drive in ``main_fmsl_standardized.py:101-157``:
+SincConv -> |.| -> MaxPool(3) -> BN -> SELU -> 6 residual blocks each gated by an
+FC-attention (y = sigmoid(fc(avgpool_t(x))); x = x*y + y) -> BN -> SELU -> GRU ->
+last hidden state -> fc1_gru. Channel plan follows the standardized filts
+[128, [128,128], [128,256]]: blocks 0-1 at 128, block 2 widens to 256, blocks 3-5 at
+256 (the original RawNet2 yaml used [20,[20,20],[20,128]], model_config_RawNet.yaml).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from adfmsl.models.blocks import GRU
+from adfmsl.models.sincnet import SincConv
+
+
+class _RawNetBlock(nn.Module):
+    """BN -> LeakyReLU -> Conv k3 -> BN -> LeakyReLU -> Conv k3 (+1x1 skip) -> MaxPool3."""
+
+    in_channels: int
+    out_channels: int
+    first: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):          # (B, T, C)
+        h = x
+        if not self.first:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+            h = nn.leaky_relu(h, 0.3)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.leaky_relu(h, 0.3)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv2")(h)
+        skip = x
+        if self.in_channels != self.out_channels:
+            skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                           name="downsample")(skip)
+        out = h + skip
+        return nn.max_pool(out, (3,), strides=(3,))
+
+
+class RawNetEncoder(nn.Module):
+    """(B, T) raw audio -> (B, feature_dim) utterance embedding."""
+
+    sinc_channels: int = 128
+    sinc_kernel: int = 251
+    block_channels: Sequence[int] = (128, 128, 256, 256, 256, 256)
+    gru_hidden: int = 1024
+    feature_dim: int = 1024
+    sample_rate: int = 16000
+    sinc_formula: str = "textbook"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = SincConv(self.sinc_channels, self.sinc_kernel, self.sample_rate,
+                     formula=self.sinc_formula, name="sinc")(x)                      # (B, T', C)
+        h = jnp.abs(h)
+        h = nn.max_pool(h, (3,), strides=(3,))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
+        h = nn.selu(h)
+
+        cin = self.sinc_channels
+        for i, cout in enumerate(self.block_channels):
+            h = _RawNetBlock(cin, cout, first=(i == 0), dtype=self.dtype,
+                             name=f"block{i}")(h, train=train)
+            # FC attention gate (main_fmsl_standardized.py:115-119)
+            y = jnp.mean(h, axis=1)                       # (B, C)
+            y = nn.sigmoid(nn.Dense(cout, name=f"fc_attention{i}")(y))
+            h = h * y[:, None, :] + y[:, None, :]
+            cin = cout
+
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_before_gru")(h)
+        h = nn.selu(h)
+        h = GRU(self.gru_hidden, name="gru")(h)           # (B, T, H)
+        h = h[:, -1, :]
+        return nn.Dense(self.feature_dim, name="fc1_gru")(h)

@@ -1,0 +1,33 @@
+"""Trainable SincConv as a Flax module (front end of main/maze4/maze5).
+
+Wraps the vectorized filter synthesis in ``adfmsl.ops.sinc`` with learnable
+(low_hz, band_hz) parameters, mel-spaced init (ops.sinc.sinc_init reproduces
+maze4.py:68-78). Output layout (B, T', C).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from adfmsl.ops.sinc import sinc_conv, sinc_filters, sinc_init
+
+
+class SincConv(nn.Module):
+    out_channels: int = 128
+    kernel_size: int = 251
+    sample_rate: int = 16000
+    stride: int = 1
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+    formula: str = "textbook"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T) -> (B, T', C)
+        low0, band0 = sinc_init(self.out_channels, self.sample_rate,
+                                self.min_low_hz, self.min_band_hz)
+        low = self.param("low_hz", lambda _: jnp.asarray(low0))
+        band = self.param("band_hz", lambda _: jnp.asarray(band0))
+        filt = sinc_filters(low, band, self.kernel_size, self.sample_rate,
+                            self.min_low_hz, self.min_band_hz, self.formula)
+        y = sinc_conv(x, filt, stride=self.stride)       # (B, C, T')
+        return jnp.transpose(y, (0, 2, 1))

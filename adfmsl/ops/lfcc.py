@@ -1,0 +1,55 @@
+"""LFCC (linear-frequency cepstral coefficients) and log-mel front ends.
+
+The BASELINE targets name "LFCC (60-dim) + LCNN" and "log-mel (80) + ResNet18" as
+first-class configs. LFCC = DCT-II (ortho) over log linear-filterbank energies — the
+standard ASVspoof countermeasure front end. Composed entirely of MXU matmuls:
+frames @ DFT @ filterbank @ DCT, which XLA fuses into one GEMM pipeline.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.ops.mel import (
+    apply_filterbank,
+    linear_filterbank,
+    log_compress,
+    mel_filterbank,
+)
+from adfmsl.ops.stft import power_spectrogram
+
+
+@lru_cache(maxsize=8)
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_in, n_out) — scipy.fft.dct(norm='ortho') semantics."""
+    n = np.arange(n_in)[:, None]
+    k = np.arange(n_out)[None, :]
+    m = np.cos(np.pi * (2 * n + 1) * k / (2.0 * n_in)) * np.sqrt(2.0 / n_in)
+    m[:, 0] *= 1.0 / np.sqrt(2.0)
+    return m.astype(np.float32)
+
+
+def lfcc(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
+         hop_length: int = 160, win_length: int = 400, n_filter: int = 70,
+         n_lfcc: int = 60, log_eps: float = 1e-6, impl: str = "conv") -> jnp.ndarray:
+    """(..., T) waveform -> (..., frames, n_lfcc)."""
+    p = power_spectrogram(x, n_fft, hop_length, win_length, impl=impl)
+    fb = linear_filterbank(sample_rate, n_fft, n_filter)
+    e = log_compress(apply_filterbank(p, fb), log_eps)
+    return jnp.matmul(e, jnp.asarray(dct_matrix(n_filter, n_lfcc)),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def logmel(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
+           hop_length: int = 160, win_length: int = 400, n_mels: int = 80,
+           fmin: float = 0.0, fmax=None, log_eps: float = 1e-6,
+           impl: str = "conv") -> jnp.ndarray:
+    """(..., T) waveform -> (..., frames, n_mels) log-mel spectrogram."""
+    p = power_spectrogram(x, n_fft, hop_length, win_length, impl=impl)
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+    return log_compress(apply_filterbank(p, fb), log_eps)

@@ -1,0 +1,94 @@
+"""STFT and power/log spectrograms, TPU-first.
+
+Two interchangeable implementations:
+- ``stft_fft``: framing + jnp.fft.rfft (XLA's FFT).
+- ``stft_matmul``: framing + windowed-DFT as ONE real matmul on the MXU. For the short
+  frames used here (win 400/512) a dense (frame_length x 2*(n_fft//2+1)) DFT matrix is
+  small, and spectrogram = frames @ dft — exactly the shape of work the 128x128 systolic
+  array eats; it also fuses with the downstream mel/LFCC filterbank into a single GEMM
+  chain (see ``ops/fused.py``). This is the TPU-native answer to the reference's
+  librosa-on-CPU front end (maze2.py:265, SURVEY.md 2.8).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.ops.window import frame, hann
+
+
+@lru_cache(maxsize=16)
+def _dft_matrices(n_fft: int, win_length: int, dtype=np.float32):
+    """Real/imag DFT matrices, window folded in: (win_length, n_bins) each."""
+    n_bins = n_fft // 2 + 1
+    n = np.arange(win_length)[:, None]          # sample index within frame
+    k = np.arange(n_bins)[None, :]              # bin index
+    ang = -2.0 * np.pi * n * k / n_fft
+    w = hann(win_length, periodic=True).astype(np.float64)[:, None]
+    return (np.cos(ang) * w).astype(dtype), (np.sin(ang) * w).astype(dtype)
+
+
+def stft_matmul(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
+                win_length: int = 400, center: bool = True):
+    """Power spectrogram |STFT|^2 via MXU matmul. x: (..., T) -> (..., frames, bins)."""
+    frames = frame(x, win_length, hop_length, center=center)
+    cre, cim = _dft_matrices(n_fft, win_length)
+    # HIGHEST: full-f32 MXU passes — the DSP front end promises float32-tolerance
+    # parity (BASELINE.json), unlike the bf16-by-design model trunk.
+    re = jnp.matmul(frames, jnp.asarray(cre), precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, jnp.asarray(cim), precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    return re * re + im * im
+
+
+def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
+              win_length: int = 400, center: bool = True):
+    """Power spectrogram as ONE strided convolution: re/im DFT matrices (window
+    folded in) become a (2*n_bins, win_length) conv kernel with stride=hop, so the
+    (frames x win) matrix is never materialised in HBM — the MXU consumes the raw
+    waveform directly. Numerically identical to stft_matmul.
+
+    x: (B, T) or (T,) -> (..., frames, bins)."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if center:
+        pad = win_length // 2
+        x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
+    cre, cim = _dft_matrices(n_fft, win_length)
+    kernel = jnp.concatenate([jnp.asarray(cre), jnp.asarray(cim)], axis=1)  # (W, 2K)
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None], kernel[:, None, :],
+        window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                   # (B, frames, 2K)
+    n_bins = n_fft // 2 + 1
+    re, im = out[..., :n_bins], out[..., n_bins:]
+    p = re * re + im * im
+    return p[0] if squeeze else p
+
+
+def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
+             win_length: int = 400, center: bool = True):
+    """Power spectrogram via rfft (reference semantics: window padded to n_fft)."""
+    frames = frame(x, win_length, hop_length, center=center)
+    w = jnp.asarray(hann(win_length, periodic=True))
+    fr = frames * w
+    if win_length < n_fft:
+        pad = [(0, 0)] * (fr.ndim - 1) + [(0, n_fft - win_length)]
+        fr = jnp.pad(fr, pad)
+    spec = jnp.fft.rfft(fr, n=n_fft, axis=-1)
+    return jnp.abs(spec) ** 2
+
+
+def power_spectrogram(x, n_fft=512, hop_length=160, win_length=400, center=True,
+                      impl: str = "conv"):
+    fn = {"matmul": stft_matmul, "fft": stft_fft, "conv": stft_conv}[impl]
+    return fn(x, n_fft, hop_length, win_length, center)

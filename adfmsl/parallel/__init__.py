@@ -1,0 +1,13 @@
+from adfmsl.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding", "make_mesh", "pad_batch_to_devices", "replicate",
+    "replicated", "shard_batch",
+]

@@ -1,0 +1,61 @@
+"""Orbax checkpointing: full train state + best-metric retention.
+
+Replaces the reference's two tiers (SURVEY.md section 5): per-epoch ``state_dict``
+saves with best-file deletion (main.py:239-254, maze6.py:731-741) and rich-dict resume
+checkpoints {epoch, model, optimizer, loss, eer, config} (maze3.py:850-880, :377-389).
+Here both are one thing: an Orbax CheckpointManager over the whole TrainState plus a
+metadata dict, with ``best_fn`` retention.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+from adfmsl.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep_best_k: int = 1, keep_last: int = 1,
+                 metric: str = "dev_acc", mode: str = "max"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.metric = metric
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max(keep_best_k, keep_last),
+            best_fn=(lambda m: m.get(metric, 0.0)),
+            best_mode=mode,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float]) -> None:
+        payload = {"params": state.params, "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "step": state.step}
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload),
+                       metrics={k: float(v) for k, v in metrics.items()})
+        self._mgr.wait_until_finished()
+
+    def restore(self, state: TrainState, epoch: Optional[int] = None
+                ) -> Tuple[TrainState, int]:
+        """Restore into the (abstract) structure of ``state``; returns (state, epoch)."""
+        if epoch is None:
+            epoch = self._mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        template = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step}
+        restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"], step=restored["step"]), epoch
+
+    def best_epoch(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def all_epochs(self):
+        return sorted(self._mgr.all_steps())
+
+    def close(self):
+        self._mgr.close()

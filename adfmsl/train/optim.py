@@ -1,0 +1,127 @@
+"""Optax optimizer/scheduler factories.
+
+Replaces the reference's per-file optimizer code: Adam (main.py:187), AdamW with
+differential LR groups for wav2vec2 params (maze6.py:666-678, maze3.py:283-324), SGD
+option (maze3.py:283), global-norm clipping to grad_clip_norm (maze2_fmsl_
+standardized.py:535-546), and the scheduler factory (CosineAnnealingLR / StepLR /
+ReduceLROnPlateau / lambda-warmup, maze3.py:327-374, maze6.py:691-694).
+
+Freezing is expressed here too: ``frozen`` label-fn routes Wav2Vec2 params to
+``optax.set_to_zero`` when cfg.wav2vec2.freeze (optimizer-level guarantee on top of
+the model's stop_gradient), and partial unfreezing (maze6's last-N encoder layers)
+routes only those layers to the trainable group.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+from adfmsl.config.base import ExperimentConfig, OptimizerConfig
+
+
+def make_schedule(cfg: OptimizerConfig, steps_per_epoch: int, num_epochs: int):
+    total = max(steps_per_epoch * num_epochs, 1)
+    if cfg.scheduler == "constant":
+        return optax.constant_schedule(cfg.lr)
+    if cfg.scheduler == "cosine":
+        # CosineAnnealingLR(T_max=num_epochs) analog (maze6.py:691-694)
+        return optax.cosine_decay_schedule(cfg.lr, decay_steps=total)
+    if cfg.scheduler == "step":
+        # StepLR(step_size, gamma) analog
+        bounds = {
+            steps_per_epoch * cfg.step_size * (i + 1): cfg.step_gamma
+            for i in range(max(num_epochs // max(cfg.step_size, 1), 1))
+        }
+        return optax.piecewise_constant_schedule(cfg.lr, bounds)
+    if cfg.scheduler == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, warmup_steps=max(cfg.warmup_steps, 1), decay_steps=total)
+    raise ValueError(f"unknown scheduler {cfg.scheduler!r} (plateau is handled by "
+                     "the epoch loop via PlateauTracker)")
+
+
+def _base_optimizer(cfg: OptimizerConfig, schedule) -> optax.GradientTransformation:
+    if cfg.name == "adam":
+        return optax.adam(schedule)
+    if cfg.name == "adamw":
+        return optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    if cfg.name == "sgd":
+        return optax.sgd(schedule, momentum=cfg.momentum)
+    raise ValueError(f"unknown optimizer {cfg.name!r}")
+
+
+def _param_label_fn(exp: ExperimentConfig) -> Callable:
+    """Label params: 'frozen' (zeroed), 'backbone' (scaled LR), 'main'."""
+    w = exp.model.wav2vec2
+    unfrozen_layers = set()
+    if w.unfreeze_last_n > 0:
+        # maze6-style: the LAST N transformer layers train at backbone LR
+        n_layers = 24 if w.output_dim >= 1024 else 12
+        unfrozen_layers = {f"layers_{i}" for i in
+                           range(n_layers - w.unfreeze_last_n, n_layers)}
+
+    def label(path, _leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if "wav2vec2" in keys:
+            if w.freeze and not unfrozen_layers:
+                return "frozen"
+            sub = set(keys) & unfrozen_layers
+            if sub or not w.freeze:
+                return "backbone"
+            return "frozen"
+        return "main"
+
+    return label
+
+
+def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
+    """Full optax chain: clip-by-global-norm -> {frozen: zero, backbone: scaled-LR,
+    main: base}. Returns (tx, schedule)."""
+    ocfg = exp.train.optimizer
+    schedule = make_schedule(ocfg, steps_per_epoch, exp.train.num_epochs)
+
+    def scaled(s):
+        return lambda step: s(step) * ocfg.backbone_lr_scale
+
+    import jax
+
+    label_fn = _param_label_fn(exp)
+    tx = optax.chain(
+        optax.clip_by_global_norm(ocfg.grad_clip_norm),
+        optax.multi_transform(
+            {
+                "main": _base_optimizer(ocfg, schedule),
+                "backbone": _base_optimizer(ocfg, scaled(schedule)),
+                "frozen": optax.set_to_zero(),
+            },
+            lambda params: jax.tree_util.tree_map_with_path(label_fn, params),
+        ),
+    )
+    return tx, schedule
+
+
+class PlateauTracker:
+    """ReduceLROnPlateau analog (maze3.py:327-374): the epoch loop consults this and
+    scales an LR multiplier that the schedule closure reads."""
+
+    def __init__(self, patience: int = 2, factor: float = 0.5, mode: str = "min",
+                 min_delta: float = 0.0):
+        self.patience, self.factor, self.mode = patience, factor, mode
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def update(self, value: float) -> float:
+        better = (self.best is None
+                  or (self.mode == "min" and value < self.best - self.min_delta)
+                  or (self.mode == "max" and value > self.best + self.min_delta))
+        if better:
+            self.best, self.bad = value, 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale *= self.factor
+                self.bad = 0
+        return self.scale

@@ -1,0 +1,113 @@
+"""Jitted train/eval steps.
+
+TPU-native replacements for the per-file torch loops (maze2.py:345-374 and variants):
+- one traced, compiled ``train_step`` — forward, loss (model-internal for FMSL modes
+  B/C, LossConfig-dispatched otherwise), backward, clip (in the optax chain), update;
+- the reference's NaN failure-tolerance ported as branchless device code: non-finite
+  gradient leaves are zeroed (maze2_fmsl_standardized.py:528-532) and a non-finite
+  loss skips the whole update (``:519-521``) via lax.select on the state tree;
+- written against the GLOBAL batch: under a Mesh with NamedSharding'd inputs and
+  replicated params, XLA inserts the gradient/metric collectives (psum over ICI)
+  automatically — the pjit idiom replacing torch's single-device autograd
+  (SURVEY.md 2.10).
+
+Donated state => in-place buffer reuse on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.config.base import ExperimentConfig
+from adfmsl.heads.losses import compute_loss, masked_mean
+from adfmsl.train.state import TrainState
+
+
+def _zero_nonfinite(tree):
+    return jax.tree_util.tree_map(
+        lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), tree)
+
+
+def make_train_step(exp: ExperimentConfig, donate: bool = True):
+    lcfg = exp.train.loss
+    use_remat = exp.train.remat
+
+    def step(state: TrainState, audio, labels, mask, rng) -> Tuple[TrainState, Dict]:
+        rngs = {
+            "dropout": jax.random.fold_in(rng, 0),
+            "specaugment": jax.random.fold_in(rng, 1),
+            "lsa": jax.random.fold_in(rng, 2),
+        }
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            fwd = state.apply_fn
+            if use_remat:
+                fwd = jax.checkpoint(fwd, static_argnums=())
+            out, mut = fwd(variables, audio, labels=labels, train=True, mask=mask,
+                           rngs=rngs, mutable=["batch_stats"])
+            if "loss" in out:
+                loss = out["loss"]
+            else:
+                loss = compute_loss(
+                    lcfg.name, out["logits"], labels,
+                    class_weights=lcfg.class_weights,
+                    focal_alpha=lcfg.focal_alpha, focal_gamma=lcfg.focal_gamma,
+                    mask=mask)
+            return loss, (out, mut.get("batch_stats", state.batch_stats))
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        grads = _zero_nonfinite(grads)
+        good = jnp.isfinite(loss)
+
+        updated = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        # non-finite loss => keep old state entirely (batch skip, maze2_fmsl:519-521)
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jax.lax.select(good, new, old)
+            if hasattr(new, "dtype") else new,
+            updated, state.replace(step=state.step + 1))
+
+        pred = jnp.argmax(out["logits"], axis=-1)
+        acc = masked_mean((pred == labels).astype(jnp.float32), mask)
+        metrics = {
+            "loss": jnp.where(good, loss, 0.0),
+            "acc": acc,
+            "skipped": (~good).astype(jnp.float32),
+            "grad_norm": optax_global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+
+
+def make_eval_step(exp: ExperimentConfig):
+    """Batched inference: scores + accuracy counts under the validity mask."""
+
+    def step(state: TrainState, audio, labels, mask):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        out = state.apply_fn(variables, audio, train=False)
+        pred = jnp.argmax(out["logits"], axis=-1)
+        correct = jnp.sum((pred == labels) * mask)
+        return {
+            "scores": out["scores"],
+            "logits": out["logits"],
+            "correct": correct,
+            "count": jnp.sum(mask),
+        }
+
+    return jax.jit(step)

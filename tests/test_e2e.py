@@ -1,0 +1,111 @@
+"""End-to-end slice (SURVEY.md section 7 build-order step 3): train maze5 (SincConv ->
+SE-ResNet -> focal loss — no pretrained dependency) on the separable synthetic
+fixture, produce a reference-format score file on the eval split, and check the EER
+beats chance by a wide margin. Also drives the CLI surfaces."""
+import os
+
+import numpy as np
+import pytest
+
+from adfmsl.config import make_experiment
+from adfmsl.data import AsvspoofDataset, DataLoader, parse_protocol
+from adfmsl.evaluation import compute_eer, evaluate_to_file, read_score_file
+from adfmsl.train import Trainer, make_dataset_and_loader
+
+
+@pytest.fixture(scope="module")
+def trained(fixture_dir):
+    exp = make_experiment("maze5")
+    exp.data.cut = 16000                    # 1 s fixture clips
+    exp.train.batch_size = 8
+    # BatchNorm running stats start at var=1 and converge at momentum 0.9; eval-mode
+    # logits are only meaningful after ~40 steps (0.9^40 ~= 0.015 of init left), so
+    # train enough steps for the eval path to see converged statistics.
+    exp.train.num_epochs = 14
+    exp.train.optimizer.lr = 1e-3
+    exp.model.spec_augment.enabled = False  # keep the tiny run deterministic-ish
+    train_proto = parse_protocol(fixture_dir["train"]["protocol"])
+    dev_proto = parse_protocol(fixture_dir["dev"]["protocol"])
+    train_loader = make_dataset_and_loader(exp, train_proto,
+                                           fixture_dir["train"]["audio_dir"],
+                                           shuffle=True)
+    dev_loader = make_dataset_and_loader(exp, dev_proto,
+                                         fixture_dir["dev"]["audio_dir"],
+                                         shuffle=False, batch_size=8,
+                                         drop_last=False)
+    trainer = Trainer(exp, train_loader, dev_loader)
+    history = trainer.fit()
+    return exp, trainer, history
+
+
+def test_training_learns(trained):
+    _, _, history = trained
+    assert len(history) == 14
+    assert history[-1].train_loss < history[0].train_loss
+    assert history[-1].dev_acc >= 0.75      # separable-by-construction classes
+
+
+def test_eval_to_score_file_and_eer(trained, fixture_dir, tmp_path):
+    exp, trainer, _ = trained
+    eval_proto = parse_protocol(fixture_dir["eval"]["protocol"])
+    loader = make_dataset_and_loader(exp, eval_proto,
+                                     fixture_dir["eval"]["audio_dir"],
+                                     shuffle=False, batch_size=6, drop_last=False)
+    score_path = str(tmp_path / "maze5_scores.txt")
+    res = evaluate_to_file(trainer.state, loader, score_path,
+                           labels=eval_proto.labels, eval_step=trainer.eval_step)
+    # exact utterance count despite padded final batch
+    scores = read_score_file(score_path)
+    assert len(scores) == len(eval_proto)
+    assert set(scores) == set(eval_proto.utt_ids)
+    assert res.metrics is not None
+    assert res.metrics["eer"] <= 0.25
+    # score-file EER reproduces in-memory EER
+    y = [eval_proto.labels[u] for u in scores]
+    eer2, _ = compute_eer(np.asarray(list(scores.values())), np.asarray(y))
+    assert eer2 == pytest.approx(res.metrics["eer"], abs=1e-9)
+
+
+def test_analysis_pipeline(trained, fixture_dir, tmp_path):
+    exp, trainer, _ = trained
+    from adfmsl.analysis import ScoreFileProcessor, comparison_markdown, results_csv
+
+    eval_proto = parse_protocol(fixture_dir["eval"]["protocol"])
+    loader = make_dataset_and_loader(exp, eval_proto,
+                                     fixture_dir["eval"]["audio_dir"],
+                                     shuffle=False, batch_size=6, drop_last=False)
+    sdir = tmp_path / "scores"
+    sdir.mkdir()
+    evaluate_to_file(trainer.state, loader, str(sdir / "maze5_scores.txt"),
+                     eval_step=trainer.eval_step)
+    proc = ScoreFileProcessor(str(sdir), fixture_dir["eval"]["protocol"])
+    processed = proc.process_all_scores()
+    assert "maze5" in processed.per_model
+    assert "eer" in processed.per_model["maze5"]
+    csv_text = results_csv(processed.per_model)
+    assert "maze5" in csv_text
+    md = comparison_markdown(processed.per_model)
+    assert "maze5" in md and "ref EER" in md
+    out = proc.export_for_thesis_analysis(processed, str(tmp_path / "perf.json"))
+    assert os.path.exists(out)
+
+
+def test_cli_analyze(trained, fixture_dir, tmp_path, capsys):
+    exp, trainer, _ = trained
+    eval_proto = parse_protocol(fixture_dir["eval"]["protocol"])
+    loader = make_dataset_and_loader(exp, eval_proto,
+                                     fixture_dir["eval"]["audio_dir"],
+                                     shuffle=False, batch_size=6, drop_last=False)
+    sdir = tmp_path / "scores"
+    sdir.mkdir()
+    evaluate_to_file(trainer.state, loader, str(sdir / "maze5_scores.txt"),
+                     eval_step=trainer.eval_step)
+    from adfmsl.cli.analyze import main
+
+    rc = main(["--scores_dir", str(sdir),
+               "--protocol", fixture_dir["eval"]["protocol"],
+               "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert (tmp_path / "out" / "results.csv").exists()
+    assert (tmp_path / "out" / "report.md").exists()
+    assert "maze5" in capsys.readouterr().out

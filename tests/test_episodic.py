@@ -1,0 +1,153 @@
+"""Episodic few-shot tests (BASELINE configs #3/#5)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adfmsl.data import parse_protocol
+from adfmsl.heads.episodic import (
+    EpisodeSampler,
+    batched_episode_loss,
+    episode_loss,
+    group_by_class,
+    kshot_adapt,
+    make_episodic_train_step,
+    prototype_scores,
+    prototypes_from_support,
+    prototypical_logits,
+    sample_episode_indices,
+)
+from adfmsl.heads.fmsl import l2_normalize
+
+
+def test_group_by_class(fixture_dir):
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+    groups = group_by_class(proto)
+    assert "bonafide" in groups
+    assert len(groups["bonafide"]) == 12
+    assert all(k.startswith("A") for k in groups if k != "bonafide")
+
+
+def test_sample_episode_indices(fixture_dir):
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+    groups = group_by_class(proto)
+    rng = np.random.default_rng(0)
+    classes, sup, qry = sample_episode_indices(rng, groups, n_way=2, k_shot=1,
+                                               q_queries=1)
+    assert len(classes) == 2
+    for s, q in zip(sup, qry):
+        assert len(s) == 1 and len(q) == 1
+        assert not set(s) & set(q)
+    with pytest.raises(ValueError):
+        sample_episode_indices(rng, groups, n_way=10, k_shot=50, q_queries=50)
+
+
+def test_prototypes_on_hypersphere():
+    emb = l2_normalize(jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 5, 16)).astype(np.float32)))
+    p = prototypes_from_support(emb)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(p), axis=-1), 1.0, atol=1e-5)
+
+
+def test_episode_loss_separable():
+    rng = np.random.default_rng(0)
+    # two well-separated clusters
+    c0 = rng.standard_normal((1, 16)) * 0.01 + np.eye(16)[0]
+    c1 = rng.standard_normal((1, 16)) * 0.01 + np.eye(16)[1]
+    sup = l2_normalize(jnp.asarray(np.stack([
+        c0 + 0.01 * rng.standard_normal((5, 16)),
+        c1 + 0.01 * rng.standard_normal((5, 16))]), dtype=jnp.float32))
+    qry = l2_normalize(jnp.asarray(np.stack([
+        c0 + 0.01 * rng.standard_normal((4, 16)),
+        c1 + 0.01 * rng.standard_normal((4, 16))]), dtype=jnp.float32))
+    loss, acc = episode_loss(sup, qry)
+    assert float(acc) == 1.0
+    assert float(loss) < 0.1
+    # batched path agrees
+    bl, ba = batched_episode_loss(sup[None], qry[None])
+    assert float(ba) == 1.0
+    np.testing.assert_allclose(float(bl), float(loss), rtol=1e-5)
+
+
+def test_prototypical_logits_metrics():
+    q = l2_normalize(jnp.asarray(np.random.default_rng(0)
+                                 .standard_normal((4, 8)).astype(np.float32)))
+    p = l2_normalize(jnp.asarray(np.random.default_rng(1)
+                                 .standard_normal((2, 8)).astype(np.float32)))
+    a = prototypical_logits(q, p, metric="cosine")
+    b = prototypical_logits(q, p, metric="sqeuclidean")
+    assert a.shape == b.shape == (4, 2)
+    # same ranking for unit vectors: ||q-p||^2 = 2 - 2cos
+    assert (np.argmax(np.asarray(a), 1) == np.argmax(np.asarray(b), 1)).all()
+    with pytest.raises(ValueError):
+        prototypical_logits(q, p, metric="manhattan")
+
+
+def test_episodic_training_learns_synthetic():
+    """A linear embedder must learn to separate two synthetic waveform classes
+    through the vmap'd episodic objective."""
+    rng = np.random.default_rng(0)
+    t = 256
+    templates = rng.standard_normal((2, t))  # fixed class templates
+
+    def make_class(c, n):
+        # template + noise (random-PHASE signals would average to a zero prototype
+        # under a linear embedder, making the task unlearnable by construction)
+        return templates[c] + 0.5 * rng.standard_normal((n, t))
+
+    params = {"w": jnp.asarray(rng.standard_normal((t, 16)).astype(np.float32) * 0.1)}
+
+    def embed(p, x):
+        return x @ p["w"]
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    step = make_episodic_train_step(embed, tx)
+
+    accs = []
+    for i in range(30):
+        sup = np.stack([np.stack([make_class(0, 5), make_class(1, 5)])
+                        for _ in range(4)]).astype(np.float32)
+        qry = np.stack([np.stack([make_class(0, 5), make_class(1, 5)])
+                        for _ in range(4)]).astype(np.float32)
+        params, opt_state, m = step(params, opt_state, jnp.asarray(sup),
+                                    jnp.asarray(qry))
+        accs.append(float(m["acc"]))
+    assert np.mean(accs[-5:]) > 0.9
+
+
+def test_kshot_adapt_and_scores():
+    rng = np.random.default_rng(0)
+    t = 64
+
+    def embed(p, x):
+        return x @ p["w"]
+
+    params = {"w": jnp.asarray(np.eye(t, 8, dtype=np.float32))}
+    spoof = rng.standard_normal((5, t)).astype(np.float32) + 3 * np.eye(t)[0]
+    bona = rng.standard_normal((5, t)).astype(np.float32) + 3 * np.eye(t)[1]
+    support = np.concatenate([spoof, bona])
+    labels = np.asarray([0] * 5 + [1] * 5)
+    protos = kshot_adapt(embed, params, jnp.asarray(support), jnp.asarray(labels), 2)
+    assert protos.shape == (2, 8)
+    scores = prototype_scores(embed, params, jnp.asarray(np.concatenate(
+        [bona + 0.1 * rng.standard_normal((5, t)),
+         spoof + 0.1 * rng.standard_normal((5, t))]).astype(np.float32)), protos)
+    s = np.asarray(scores)
+    assert s[:5].mean() > s[5:].mean()   # bonafide scores higher
+
+
+def test_episode_sampler_shapes(fixture_dir):
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+
+    def load(u):
+        return np.zeros(100, dtype=np.float32)
+
+    sampler = EpisodeSampler(proto, load, n_way=2, k_shot=1, q_queries=1,
+                             episodes_per_batch=3)
+    b = sampler.next_batch()
+    assert b.support.shape == (3, 2, 1, 100)
+    assert b.query.shape == (3, 2, 1, 100)
+    assert len(b.class_names) == 3

@@ -1,0 +1,104 @@
+"""Shape/contract tests for the full model zoo (tiny Wav2Vec2, short clips — these run
+on the forced-CPU test platform)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.config import ALL_MODELS, EXTRA_MODELS, make_experiment
+from adfmsl.models import build_model, model_registry
+
+RNGS = {
+    "dropout": jax.random.PRNGKey(1),
+    "specaugment": jax.random.PRNGKey(2),
+    "lsa": jax.random.PRNGKey(3),
+}
+X = jnp.asarray(np.random.default_rng(0).standard_normal((2, 6000)).astype(np.float32))
+LABELS = jnp.asarray(np.array([0, 1], dtype=np.int32))
+
+
+def _build(name):
+    exp = make_experiment(name)
+    exp.model.wav2vec2.model_name = "tiny"   # no-network test arch
+    m = build_model(exp.model)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, X, train=False)
+    return exp, m, variables
+
+
+def test_registry_covers_all_models():
+    for name in ALL_MODELS + EXTRA_MODELS:
+        assert name in model_registry, name
+
+
+@pytest.mark.parametrize("name", ALL_MODELS + EXTRA_MODELS)
+def test_forward_contract(name):
+    exp, m, variables = _build(name)
+    out = m.apply(variables, X, labels=LABELS, train=False)
+    assert out["logits"].shape == (2, 2)
+    assert out["scores"].shape == (2,)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    is_fmsl = name.endswith("_fmsl")
+    mode = exp.model.fmsl.mode if is_fmsl else None
+    # train-mode forward: FMSL replace/integrated models must self-report loss
+    out_t, _ = m.apply(variables, X, labels=LABELS, train=True, rngs=RNGS,
+                       mutable=["batch_stats"])
+    if is_fmsl and mode in ("replace", "integrated"):
+        assert "loss" in out_t and np.isfinite(float(out_t["loss"]))
+    else:
+        assert "loss" not in out_t
+
+
+def test_score_semantics_log_softmax_vs_logit():
+    _, m5, v5 = _build("maze5")
+    out = m5.apply(v5, X, train=False)
+    lp = jax.nn.log_softmax(out["logits"], axis=-1)[:, 1]
+    np.testing.assert_allclose(np.asarray(out["scores"]), np.asarray(lp), atol=1e-6)
+    assert (np.asarray(out["scores"]) <= 0).all()   # log-probs
+
+    _, m6, v6 = _build("maze6")
+    out6 = m6.apply(v6, X, train=False)
+    np.testing.assert_allclose(np.asarray(out6["scores"]),
+                               np.asarray(out6["logits"][:, 1]), atol=1e-6)
+
+
+def test_grad_flows_and_w2v2_frozen():
+    exp, m, variables = _build("maze7")
+
+    def loss_fn(params):
+        out = m.apply({**variables, "params": params}, X, labels=LABELS, train=False)
+        return jnp.mean(out["logits"] ** 2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    # frozen w2v2: stop_gradient => zero grads
+    w2v2_leaves = jax.tree_util.tree_leaves(g["wav2vec2"])
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in w2v2_leaves)
+    head_leaves = jax.tree_util.tree_leaves(g["fc2"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in head_leaves)
+
+
+def test_maze8_has_conv_fmsl_and_fmsl_variant_does_not():
+    _, _, v8 = _build("maze8")
+    assert "conv_fmsl" in v8["params"]
+    _, _, v8f = _build("maze8_fmsl")
+    assert "conv_fmsl" not in v8f["params"]
+    assert "fmsl" in v8f["params"]
+
+
+def test_specaugment_only_in_train_mode():
+    exp, m, variables = _build("maze4")
+    assert exp.model.spec_augment.enabled
+    out_eval1 = m.apply(variables, X, train=False)
+    out_eval2 = m.apply(variables, X, train=False)
+    np.testing.assert_array_equal(np.asarray(out_eval1["logits"]),
+                                  np.asarray(out_eval2["logits"]))
+
+
+def test_fmsl_param_count_structure():
+    """FMSL head: prototypes (P,D), class weight (2,D), scalar temperature
+    (fmsl_advanced.py:103-150)."""
+    _, _, v = _build("maze6_fmsl")   # drifted: 8 prototypes, dim 512
+    p = v["params"]["fmsl"]
+    assert p["prototypes"].shape == (8, 512)
+    assert p["weight"].shape == (2, 512)
+    assert p["temperature"].shape == ()

@@ -1,0 +1,198 @@
+"""Golden-value tests for the DSP front end against independent numpy/scipy
+references (librosa is unavailable in this environment; formulas follow the same
+published definitions librosa/torchaudio implement — SURVEY.md section 4)."""
+import numpy as np
+import pytest
+import scipy.fft
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.ops import (
+    cmvn,
+    dct_matrix,
+    frame,
+    hann,
+    lfcc,
+    linear_filterbank,
+    logmel,
+    mel_filterbank,
+    power_spectrogram,
+    sinc_conv,
+    sinc_filters,
+    sinc_init,
+    spec_augment,
+    stft_fft,
+    stft_matmul,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _numpy_power_spec(x, n_fft, hop, win):
+    """Independent reference: frame (reflect-pad, centered), hann, rfft, |.|^2."""
+    pad = win // 2
+    xp = np.pad(x, pad, mode="reflect")
+    n_frames = 1 + (len(xp) - win) // hop
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / win)
+    out = np.zeros((n_frames, n_fft // 2 + 1))
+    for t in range(n_frames):
+        fr = xp[t * hop : t * hop + win] * w
+        spec = np.fft.rfft(fr, n=n_fft)
+        out[t] = np.abs(spec) ** 2
+    return out
+
+
+def test_hann_matches_scipy():
+    np.testing.assert_allclose(hann(400, periodic=True),
+                               scipy.signal.get_window("hann", 400, fftbins=True),
+                               atol=1e-6)
+    np.testing.assert_allclose(hann(251, periodic=False),
+                               scipy.signal.get_window("hann", 251, fftbins=False),
+                               atol=1e-6)
+
+
+def test_frame_shapes_and_values():
+    x = RNG.standard_normal(1000).astype(np.float32)
+    fr = np.asarray(frame(jnp.asarray(x), 400, 160, center=False))
+    assert fr.shape == (4, 400)
+    np.testing.assert_array_equal(fr[1], x[160:560])
+
+
+def test_stft_fft_matches_numpy_reference():
+    x = RNG.standard_normal(8000).astype(np.float32)
+    ref = _numpy_power_spec(x, 512, 160, 400)
+    got = np.asarray(stft_fft(jnp.asarray(x), 512, 160, 400))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_matmul_matches_fft_path():
+    x = RNG.standard_normal(16000).astype(np.float32)
+    a = np.asarray(stft_matmul(jnp.asarray(x), 512, 160, 400))
+    b = np.asarray(stft_fft(jnp.asarray(x), 512, 160, 400))
+    # f32 cancellation at spectral nulls: tolerance scales with the spectrum peak
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-5 * b.max())
+
+
+def test_stft_batched():
+    x = RNG.standard_normal((3, 4000)).astype(np.float32)
+    out = np.asarray(stft_matmul(jnp.asarray(x)))
+    assert out.shape[0] == 3
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, 80)
+    assert fb.shape == (257, 80)
+    assert (fb >= 0).all()
+    # each filter has support; neighbouring filters overlap
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_dct_matches_scipy():
+    e = RNG.standard_normal((5, 70)).astype(np.float32)
+    ref = scipy.fft.dct(e, type=2, norm="ortho", axis=-1)[:, :60]
+    got = e @ dct_matrix(70, 60)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lfcc_end_to_end_shape_and_finite():
+    x = RNG.standard_normal((2, 64600)).astype(np.float32)
+    out = np.asarray(jax.jit(lfcc)(jnp.asarray(x)))
+    assert out.shape == (2, 404, 60)
+    assert np.isfinite(out).all()
+
+
+def test_logmel_golden():
+    x = RNG.standard_normal(16000).astype(np.float32)
+    p = _numpy_power_spec(x, 512, 160, 400)
+    fb = mel_filterbank(16000, 512, 80)
+    ref = np.log(np.maximum(p @ fb, 1e-6))
+    got = np.asarray(logmel(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_cmvn():
+    x = jnp.asarray(RNG.standard_normal((2, 100, 60)).astype(np.float32) * 5 + 3)
+    out = np.asarray(cmvn(x))
+    np.testing.assert_allclose(out.mean(axis=1), 0, atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=1), 1, atol=1e-2)
+
+
+def test_sinc_init_mel_spaced():
+    low, band = sinc_init(128)
+    assert low.shape == (128,) and band.shape == (128,)
+    assert low[0] == pytest.approx(30.0, abs=1.0)
+    assert (band > 0).all()
+    assert np.all(np.diff(low) > 0)
+
+
+def test_sinc_filters_and_conv():
+    low, band = sinc_init(16)
+    f = sinc_filters(jnp.asarray(low), jnp.asarray(band), 251)
+    assert f.shape == (16, 251)
+    # symmetric (linear phase): hann window * even sinc combination
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f)[:, ::-1], atol=1e-5)
+    x = jnp.asarray(RNG.standard_normal((2, 2000)).astype(np.float32))
+    y = sinc_conv(x, f, stride=1)
+    assert y.shape == (2, 16, 2000 - 250)
+
+
+def test_sinc_textbook_is_bandpass():
+    """The textbook formula must actually select its band (freq response peak in band)."""
+    low = jnp.asarray(np.array([1000.0 - 50.0], dtype=np.float32))  # low=50+|.| => 1000
+    band = jnp.asarray(np.array([2000.0 - 50.0], dtype=np.float32))  # high ~ 3000
+    f = np.asarray(sinc_filters(low, band, 511, formula="textbook"))[0]
+    H = np.abs(np.fft.rfft(f, 8192))
+    freqs = np.fft.rfftfreq(8192, 1 / 16000)
+    in_band = H[(freqs > 1200) & (freqs < 2800)].mean()
+    out_band = H[(freqs < 500) | (freqs > 4000)].mean()
+    assert in_band > 5 * out_band
+
+
+def test_sinc_filters_differentiable():
+    low, band = sinc_init(8)
+
+    def loss(lo, ba):
+        return jnp.sum(sinc_filters(lo, ba, 101) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(low), jnp.asarray(band))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_spec_augment_zeroes_bands():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((4, 32, 100))
+    y = np.asarray(spec_augment(x, key, 10, 10, 2, 2))
+    assert y.shape == x.shape
+    assert (y == 0).any() and (y == 1).any()
+    # deterministic under same key
+    y2 = np.asarray(spec_augment(x, key, 10, 10, 2, 2))
+    np.testing.assert_array_equal(y, y2)
+    # per-sample masks differ
+    assert not all((y[0] == y[i]).all() for i in range(1, 4))
+
+
+def test_spec_augment_reference_semantics():
+    key = jax.random.PRNGKey(1)
+    x = jnp.ones((2, 64, 200))
+    y = np.asarray(spec_augment(x, key, 10, 10, 2, 2, semantics="reference_handrolled"))
+    assert (y == 0).any()
+    # reference semantics: mask always starts below mask_param on the freq axis
+    zero_rows = np.where((y[0] == 0).all(axis=1))[0]
+    if len(zero_rows):
+        assert zero_rows[0] < 10
+
+
+def test_stft_conv_matches_matmul():
+    """Conv-based STFT (no frame materialisation) must equal the matmul path."""
+    x = RNG.standard_normal((2, 8000)).astype(np.float32)
+    from adfmsl.ops import stft_conv
+    a = np.asarray(stft_conv(jnp.asarray(x), 512, 160, 400))
+    b = np.asarray(stft_matmul(jnp.asarray(x), 512, 160, 400))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-5 * b.max())
+    # 1-D input path
+    a1 = np.asarray(stft_conv(jnp.asarray(x[0]), 512, 160, 400))
+    np.testing.assert_allclose(a1, a[0], rtol=1e-4, atol=1e-6 * b.max())

@@ -1,0 +1,102 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU platform (SURVEY.md 2.9/2.10:
+the net-new distributed layer — data-parallel pjit with XLA collectives)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.config import MeshConfig, make_experiment
+from adfmsl.models import build_model
+from adfmsl.parallel import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+)
+from adfmsl.train import TrainState, make_optimizer, make_train_step
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshConfig())
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(MeshConfig())
+    x = np.zeros((16, 100), dtype=np.float32)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == batch_sharding(mesh).spec
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (2, 100)
+
+
+def test_pad_batch_to_devices():
+    a, l, m = pad_batch_to_devices(np.ones((5, 4), np.float32),
+                                   np.ones(5, np.int32), np.ones(5, bool), 8)
+    assert a.shape == (8, 4) and not m[5:].any() and m[:5].all()
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """The pjit'd step over 8 devices must produce the same loss/update as the
+    single-device step on the same global batch (collectives correctness)."""
+    exp = make_experiment("maze5")
+    exp.model.wav2vec2.model_name = "tiny"
+    exp.data.cut = 4000
+    exp.train.batch_size = 8
+    model = build_model(exp.model)
+    x = jnp.zeros((8, exp.data.cut))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    tx, _ = make_optimizer(exp, 10)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats"), tx)
+    step = make_train_step(exp, donate=False)
+
+    audio = np.random.default_rng(0).standard_normal((8, exp.data.cut)).astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int32)
+    mask = np.ones(8, dtype=bool)
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    s1, m1 = step(state, jnp.asarray(audio), jnp.asarray(labels),
+                  jnp.asarray(mask), rng)
+
+    # 8-device mesh
+    mesh = make_mesh(MeshConfig())
+    state_r = state.replace(params=replicate(mesh, state.params),
+                            batch_stats=replicate(mesh, state.batch_stats),
+                            opt_state=replicate(mesh, state.opt_state))
+    a_s, l_s, m_s = shard_batch(mesh, (audio, labels, mask))
+    with mesh:
+        s8, m8 = step(state_r, a_s, l_s, m_s, rng)
+
+    # sharded reductions reorder float accumulation; small tolerance expected
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-3)
+    # first-step Adam moves each weight by ~±lr*sign(grad); roundoff-level grad
+    # differences can flip the sign of near-zero grads, so the bound is 2*lr + slack
+    # + ulp-scale slack for large-magnitude params (sinc cutoffs are O(1e3) Hz)
+    lr = exp.train.optimizer.lr
+    da = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b) - 1e-6 * jnp.abs(a))),
+        s1.params, s8.params)
+    assert max(jax.tree_util.tree_leaves(da)) <= 2.1 * lr
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    jitted = jax.jit(fn)
+    lowered = jitted.lower(*args)
+    assert lowered.compile() is not None
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,64 @@
+"""Numerical parity of the native Flax Wav2Vec2 against HF's torch implementation
+(random-init tiny config — no network; SURVEY.md 7 lists W2V2 parity as the top risk)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from adfmsl.models.w2v2 import W2V2Arch, Wav2Vec2Encoder, port_hf_state_dict
+
+
+def _tiny_pair(feat_norm="group", stable_ln=False):
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, conv_dim=(32, 32), conv_kernel=(10, 3),
+        conv_stride=(5, 2), feat_extract_norm=feat_norm,
+        do_stable_layer_norm=stable_ln, num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16,
+    )
+    tm = Wav2Vec2Model(cfg).eval()
+    arch = W2V2Arch(hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128,
+                    conv_dim=(32, 32), conv_kernel=(10, 3), conv_stride=(5, 2),
+                    feat_extract_norm=feat_norm, do_stable_layer_norm=stable_ln)
+    params = port_hf_state_dict({k: v.numpy() for k, v in tm.state_dict().items()},
+                                arch)
+    return tm, Wav2Vec2Encoder(arch=arch, normalize_input=False), params
+
+
+@pytest.mark.parametrize("feat_norm,stable_ln", [("group", False), ("layer", True)])
+def test_w2v2_matches_hf_torch(feat_norm, stable_ln):
+    tm, enc, params = _tiny_pair(feat_norm, stable_ln)
+    x = np.random.default_rng(0).standard_normal((2, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).last_hidden_state.numpy()
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_w2v2_hidden_states_taps():
+    tm, enc, params = _tiny_pair()
+    x = np.random.default_rng(1).standard_normal((1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), output_hidden_states=True).hidden_states
+    _, hs = enc.apply({"params": params}, jnp.asarray(x), output_hidden_states=True)
+    assert len(hs) == len(ref) == 3
+    for mine, theirs in zip(hs, ref):
+        np.testing.assert_allclose(np.asarray(mine), theirs.numpy(), atol=5e-5)
+
+
+def test_w2v2_input_normalisation_matches_processor_semantics():
+    """normalize_input reproduces Wav2Vec2Processor's zero-mean/unit-var, on device
+    (replacing the GPU->CPU round trip, maze2.py:100-115)."""
+    _, enc, params = _tiny_pair()
+    x = np.random.default_rng(2).standard_normal((2, 1600)).astype(np.float32) * 7 + 3
+    xn = (x - x.mean(axis=1, keepdims=True)) / np.sqrt(x.var(axis=1, keepdims=True) + 1e-7)
+    enc_norm = Wav2Vec2Encoder(arch=enc.arch, normalize_input=True)
+    a = np.asarray(enc_norm.apply({"params": params}, jnp.asarray(x)))
+    b = np.asarray(enc.apply({"params": params}, jnp.asarray(xn)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
