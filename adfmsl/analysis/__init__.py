@@ -1,3 +1,10 @@
+from adfmsl.analysis.compare import ComparisonResult, compare_models, detect_architecture
+from adfmsl.analysis.figures import (
+    plot_det,
+    plot_model_comparison,
+    plot_roc,
+    plot_score_distributions,
+)
 from adfmsl.analysis.processor import (
     ProcessedScores,
     ScoreFileProcessor,
@@ -11,6 +18,8 @@ from adfmsl.analysis.report import (
 )
 
 __all__ = [
+    "ComparisonResult", "compare_models", "detect_architecture",
+    "plot_det", "plot_model_comparison", "plot_roc", "plot_score_distributions",
     "ProcessedScores", "ScoreFileProcessor", "model_name_from_filename",
     "REFERENCE_RESULTS", "comparison_markdown", "results_csv", "results_latex",
 ]

@@ -1,4 +1,16 @@
 from adfmsl.data.audio import load_audio, read_wav, resample, write_wav
+from adfmsl.data.augment import (
+    add_noise_snr,
+    augment_waveform,
+    rir_reverb,
+    synthetic_rir,
+)
+from adfmsl.data.preprocess import (
+    create_dataset_manifest,
+    preprocess_audio,
+    trim_silence,
+    validate_dataset,
+)
 from adfmsl.data.pad import pad, tile_pad, tile_pad_device, zero_pad, zero_pad_device
 from adfmsl.data.pipeline import AsvspoofDataset, Batch, DataLoader, resolve_audio_path
 from adfmsl.data.protocol import Protocol, ProtocolEntry, gen_spoof_list, parse_protocol
@@ -10,4 +22,6 @@ __all__ = [
     "AsvspoofDataset", "Batch", "DataLoader", "resolve_audio_path",
     "Protocol", "ProtocolEntry", "gen_spoof_list", "parse_protocol",
     "SyntheticSpec", "generate_fixture",
+    "add_noise_snr", "augment_waveform", "rir_reverb", "synthetic_rir",
+    "create_dataset_manifest", "preprocess_audio", "trim_silence", "validate_dataset",
 ]

@@ -34,9 +34,14 @@ class EvalResult:
 
 
 def produce_scores(state: TrainState, loader: DataLoader,
-                   eval_step=None) -> EvalResult:
+                   eval_step=None, mesh=None) -> EvalResult:
     """Run batched inference over the loader; returns per-utterance scores in
-    protocol order (masked padding rows dropped)."""
+    protocol order (masked padding rows dropped).
+
+    With ``mesh``, each batch is sharded over the mesh's data axis (params are
+    assumed already placed — replicated or TP-sharded via parallel.tp) so the
+    71k-utterance protocol streams across all chips (SURVEY.md 2.9 eval sharding).
+    """
     if eval_step is None:
         import jax.numpy as jnp
 
@@ -54,9 +59,22 @@ def produce_scores(state: TrainState, loader: DataLoader,
     all_scores: List[np.ndarray] = []
     n_bad = 0
     import jax.numpy as jnp
+
+    from adfmsl.parallel.mesh import pad_batch_to_devices, shard_batch
+
+    n_data = mesh.devices.shape[0] if mesh is not None else 1
     for batch in loader:
-        out = eval_step(state, jnp.asarray(batch.audio),
-                        jnp.asarray(batch.label), jnp.asarray(batch.mask))
+        audio, label, bmask = batch.audio, batch.label, batch.mask
+        if mesh is not None:
+            audio, label, bmask = pad_batch_to_devices(audio, label, bmask, n_data)
+            audio, label, bmask = shard_batch(mesh, (audio, label, bmask))
+            with mesh:
+                out = eval_step(state, audio, label, bmask)
+            out = {k: np.asarray(v)[: len(batch.mask)] if np.ndim(v) else v
+                   for k, v in out.items()}
+        else:
+            out = eval_step(state, jnp.asarray(audio),
+                            jnp.asarray(label), jnp.asarray(bmask))
         s = np.asarray(out["scores"])
         bad = ~np.isfinite(s)
         if bad.any():
@@ -73,8 +91,8 @@ def produce_scores(state: TrainState, loader: DataLoader,
 
 def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
                      labels: Optional[Dict[str, int]] = None,
-                     eval_step=None) -> EvalResult:
-    res = produce_scores(state, loader, eval_step)
+                     eval_step=None, mesh=None) -> EvalResult:
+    res = produce_scores(state, loader, eval_step, mesh=mesh)
     n = write_score_file(score_path, res.utt_ids, res.scores)
     log.info("wrote %d scores to %s", n, score_path)
     if labels:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from adfmsl.ops.sinc import sinc_conv, sinc_filters, sinc_init
+from adfmsl.ops.sinc import sinc_conv, sinc_conv_block_gemm, sinc_filters, sinc_init
 
 
 class SincConv(nn.Module):
@@ -20,6 +20,8 @@ class SincConv(nn.Module):
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
     formula: str = "textbook"
+    impl: str = "block_gemm"   # GEMM-native: identical output, ~40x faster compile
+                               # than XLA's 1-channel conv lowering (ops/sinc.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T) -> (B, T', C)
@@ -29,5 +31,8 @@ class SincConv(nn.Module):
         band = self.param("band_hz", lambda _: jnp.asarray(band0))
         filt = sinc_filters(low, band, self.kernel_size, self.sample_rate,
                             self.min_low_hz, self.min_band_hz, self.formula)
-        y = sinc_conv(x, filt, stride=self.stride)       # (B, C, T')
+        if self.impl == "block_gemm" and self.stride == 1:
+            y = sinc_conv_block_gemm(x, filt)            # (B, C, T')
+        else:
+            y = sinc_conv(x, filt, stride=self.stride)
         return jnp.transpose(y, (0, 2, 1))

@@ -1,3 +1,4 @@
+from adfmsl.parallel.tp import shard_params_tp, w2v2_param_specs
 from adfmsl.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -8,6 +9,7 @@ from adfmsl.parallel.mesh import (
 )
 
 __all__ = [
+    "shard_params_tp", "w2v2_param_specs",
     "batch_sharding", "make_mesh", "pad_batch_to_devices", "replicate",
     "replicated", "shard_batch",
 ]

@@ -1,0 +1,91 @@
+"""Comparison / figures / metrics-logging tests (comprehensive_evaluation.py and
+tensorboardX-replacement analogs)."""
+import os
+
+import numpy as np
+import pytest
+
+from adfmsl.analysis import (
+    ComparisonResult,
+    REFERENCE_RESULTS,
+    compare_models,
+    detect_architecture,
+    plot_det,
+    plot_model_comparison,
+    plot_roc,
+    plot_score_distributions,
+    results_latex,
+)
+from adfmsl.utils import MetricsLogger, read_metrics
+
+RNG = np.random.default_rng(0)
+N = 400
+LABELS = {f"u{i}": int(i % 2) for i in range(N)}
+GOOD = {f"u{i}": float((i % 2) * 2 + RNG.normal(0, 0.7)) for i in range(N)}
+WEAK = {f"u{i}": float((i % 2) * 0.5 + RNG.normal(0, 1.0)) for i in range(N)}
+
+
+def test_compare_models_significance():
+    res = compare_models(GOOD, WEAK, LABELS, "good", "weak", n_resamples=200)
+    assert res.metrics_a["eer"] < res.metrics_b["eer"]
+    assert res.significance["diff"] < 0
+    assert res.significance["p_value"] < 0.05
+    md = res.markdown()
+    assert "Better model: good" in md and "significant" in md
+    assert res.diagnostics["n_common"] == N
+
+
+def test_compare_models_requires_overlap():
+    with pytest.raises(ValueError):
+        compare_models({"a": 1.0}, {"b": 2.0}, {"a": 1, "b": 0})
+
+
+def test_detect_architecture():
+    import jax
+    import jax.numpy as jnp
+    from adfmsl.config import make_experiment
+    from adfmsl.models import build_model
+
+    exp = make_experiment("maze6_fmsl")
+    exp.model.wav2vec2.model_name = "tiny"
+    m = build_model(exp.model)
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 4000)), train=False)
+    info = detect_architecture(v["params"])
+    assert info["has_wav2vec2"] and info["has_fmsl"]
+    assert info["n_prototypes"] == 8            # maze6_fmsl drift
+    assert info["fmsl_dim"] == 512
+    assert info["wav2vec2_layers"] == 2         # tiny arch
+
+
+def test_figures_render(tmp_path):
+    scores = np.asarray([GOOD[f"u{i}"] for i in range(N)])
+    labels = np.asarray([LABELS[f"u{i}"] for i in range(N)])
+    by_model = {"good": scores, "weak": np.asarray([WEAK[f"u{i}"] for i in range(N)])}
+    lab_by = {"good": labels, "weak": labels}
+    for fn, name in [(plot_roc, "roc.png"), (plot_det, "det.png")]:
+        out = fn(by_model, lab_by, str(tmp_path / name))
+        assert os.path.getsize(out) > 1000
+    out = plot_score_distributions(scores, labels, str(tmp_path / "dist.png"))
+    assert os.path.getsize(out) > 1000
+    out = plot_model_comparison(
+        {k: {"eer": v["eer"]} for k, v in REFERENCE_RESULTS.items()},
+        str(tmp_path / "cmp.png"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_results_latex():
+    tex = results_latex({"maze5": {"eer": 0.1, "min_dcf": 0.2, "min_tdcf": 0.3,
+                                   "auc": 0.9, "accuracy": 0.8}})
+    assert r"\begin{tabular}" in tex and "maze5" in tex
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    log = MetricsLogger(str(tmp_path / "run1"), also_tensorboard=False)
+    for i in range(5):
+        log.add_scalar("train/loss", 1.0 / (i + 1), i)
+    log.add_scalars({"dev/acc": 0.9, "dev/eer": 0.1}, 4)
+    log.close()
+    back = read_metrics(str(tmp_path / "run1"))
+    assert len(back["train/loss"]) == 5
+    assert back["train/loss"][0] == (0, 1.0)
+    assert back["dev/acc"] == [(4, 0.9)]

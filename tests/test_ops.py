@@ -196,3 +196,25 @@ def test_stft_conv_matches_matmul():
     # 1-D input path
     a1 = np.asarray(stft_conv(jnp.asarray(x[0]), 512, 160, 400))
     np.testing.assert_allclose(a1, a[0], rtol=1e-4, atol=1e-6 * b.max())
+
+
+def test_sinc_conv_block_gemm_matches_direct():
+    """GEMM-native Toeplitz-block sinc conv must equal the direct conv exactly."""
+    from adfmsl.ops import sinc_conv
+    from adfmsl.ops.sinc import sinc_conv_block_gemm
+
+    low, band = sinc_init(32)
+    f = sinc_filters(jnp.asarray(low), jnp.asarray(band), 251, formula="textbook")
+    x = jnp.asarray(RNG.standard_normal((2, 3000)).astype(np.float32))
+    a = np.asarray(sinc_conv(x, f))
+    b = np.asarray(sinc_conv_block_gemm(x, f))
+    assert a.shape == b.shape == (2, 32, 3000 - 250)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    # odd lengths not divisible by the block size
+    x2 = jnp.asarray(RNG.standard_normal((1, 777)).astype(np.float32))
+    a2 = np.asarray(sinc_conv(x2, f))
+    b2 = np.asarray(sinc_conv_block_gemm(x2, f))
+    np.testing.assert_allclose(a2, b2, atol=2e-6)
+    # differentiable
+    g = jax.grad(lambda f: jnp.sum(sinc_conv_block_gemm(x2, f) ** 2))(f)
+    assert np.isfinite(np.asarray(g)).all()
