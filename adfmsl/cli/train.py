@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from latest checkpoint in --checkpoint_dir")
     p.add_argument("--no_drift", action="store_true",
                    help="use canonical FMSL params instead of reference drift")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture an XLA profiler trace of the first epoch here")
+    p.add_argument("--log_dir", default=None,
+                   help="JSONL scalar metrics directory (tensorboardX analog)")
     return p
 
 
@@ -85,8 +89,20 @@ def main(argv=None) -> int:
                                              batch_size=exp.train.eval_batch_size,
                                              drop_last=False)
 
+    metric_hook = None
+    if args.log_dir:
+        from adfmsl.utils import MetricsLogger
+
+        mlog = MetricsLogger(args.log_dir)
+
+        def metric_hook(em):
+            mlog.add_scalars({"train/loss": em.train_loss,
+                              "train/acc": em.train_acc,
+                              "dev/acc": em.dev_acc}, em.epoch)
+
     trainer = Trainer(exp, train_loader, dev_loader,
-                      checkpoint_dir=args.checkpoint_dir)
+                      checkpoint_dir=args.checkpoint_dir,
+                      metric_hook=metric_hook)
     if args.restore and args.checkpoint_dir:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)
         logging.info("restored checkpoint epoch %d", epoch)
@@ -106,7 +122,15 @@ def main(argv=None) -> int:
                    for k, v in res.metrics.items()})
         return 0
 
-    trainer.fit()
+    if args.profile_dir:
+        from adfmsl.utils import trace
+
+        with trace(args.profile_dir):
+            trainer.fit(num_epochs=1)
+        trainer.fit(num_epochs=max(exp.train.num_epochs - 1, 0))
+    else:
+        trainer.fit()
+    logging.info("step timing:\n%s", trainer.timer.report())
     return 0
 
 

@@ -146,6 +146,13 @@ class DataConfig:
     num_workers: int = 2
     prefetch: int = 4
     use_native_io: bool = True      # C++ decoder/loader when the shared lib is built
+    # waveform augmentation (maze3.py:577-670, config-gated, default off); banks are
+    # supplied at Trainer construction (noise clips / RIRs as arrays)
+    augment_enabled: bool = False
+    augment_noise_prob: float = 0.5
+    augment_reverb_prob: float = 0.3
+    augment_snr_db_min: float = 5.0
+    augment_snr_db_max: float = 20.0
 
 
 @dataclass

@@ -63,6 +63,7 @@ def produce_scores(state: TrainState, loader: DataLoader,
     from adfmsl.parallel.mesh import pad_batch_to_devices, shard_batch
 
     n_data = mesh.devices.shape[0] if mesh is not None else 1
+    errors = 0
     for batch in loader:
         audio, label, bmask = batch.audio, batch.label, batch.mask
         if mesh is not None:
@@ -73,8 +74,26 @@ def produce_scores(state: TrainState, loader: DataLoader,
             out = {k: np.asarray(v)[: len(batch.mask)] if np.ndim(v) else v
                    for k, v in out.items()}
         else:
-            out = eval_step(state, jnp.asarray(audio),
-                            jnp.asarray(label), jnp.asarray(bmask))
+            try:
+                out = eval_step(state, jnp.asarray(audio),
+                                jnp.asarray(label), jnp.asarray(bmask))
+            except Exception as e:  # OOM half-batch retry (Maze6_Eval.py:509-535)
+                if "RESOURCE_EXHAUSTED" not in str(e) or len(audio) < 2:
+                    raise
+                errors += 1
+                if errors > 100:    # circuit breaker (Maze6_Eval.py:451)
+                    raise
+                log.warning("eval batch OOM; retrying in halves")
+                h = len(audio) // 2
+                out1 = eval_step(state, jnp.asarray(audio[:h]),
+                                 jnp.asarray(label[:h]), jnp.asarray(bmask[:h]))
+                out2 = eval_step(state, jnp.asarray(audio[h:]),
+                                 jnp.asarray(label[h:]), jnp.asarray(bmask[h:]))
+                out = {
+                    "scores": jnp.concatenate([out1["scores"], out2["scores"]]),
+                    "correct": out1["correct"] + out2["correct"],
+                    "count": out1["count"] + out2["count"],
+                }
         s = np.asarray(out["scores"])
         bad = ~np.isfinite(s)
         if bad.any():

@@ -44,7 +44,8 @@ class Trainer:
     def __init__(self, exp: ExperimentConfig, train_loader: DataLoader,
                  dev_loader: Optional[DataLoader] = None,
                  checkpoint_dir: Optional[str] = None,
-                 metric_hook: Optional[Callable[[EpochMetrics], None]] = None):
+                 metric_hook: Optional[Callable[[EpochMetrics], None]] = None,
+                 noise_bank=None, rir_bank=None):
         self.exp = exp
         self.train_loader = train_loader
         self.dev_loader = dev_loader
@@ -62,7 +63,8 @@ class Trainer:
             params=variables["params"],
             batch_stats=variables.get("batch_stats"),
             tx=tx)
-        self.train_step = make_train_step(exp)
+        self.train_step = make_train_step(exp, noise_bank=noise_bank,
+                                          rir_bank=rir_bank)
         self.eval_step = make_eval_step(exp)
         self.ckpt = (CheckpointManager(checkpoint_dir,
                                        keep_best_k=exp.train.keep_best_k,
@@ -70,18 +72,30 @@ class Trainer:
                                        mode=exp.train.early_stop_mode)
                      if checkpoint_dir else None)
         self.history: List[EpochMetrics] = []
+        from adfmsl.utils.profiling import StepTimer
+
+        self.timer = StepTimer()
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses, accs, skipped = [], [], 0
-        for i, batch in enumerate(self.train_loader):
+        it = iter(self.train_loader)
+        i = 0
+        while True:
+            with self.timer.phase("input"):
+                batch = next(it, None)
+            if batch is None:
+                break
             rng = key_for_step(self.root_key, "dropout",
                                epoch * 100000 + i)
-            self.state, m = self.train_step(
-                self.state, jax.numpy.asarray(batch.audio),
-                jax.numpy.asarray(batch.label), jax.numpy.asarray(batch.mask), rng)
-            losses.append(float(m["loss"]))
+            with self.timer.phase("train_step"):
+                self.state, m = self.train_step(
+                    self.state, jax.numpy.asarray(batch.audio),
+                    jax.numpy.asarray(batch.label),
+                    jax.numpy.asarray(batch.mask), rng)
+                losses.append(float(m["loss"]))
             accs.append(float(m["acc"]))
             skipped += int(m["skipped"])
+            i += 1
             if self.exp.train.log_every_steps and i % self.exp.train.log_every_steps == 0:
                 log.info("epoch %d step %d loss %.4f acc %.3f", epoch, i,
                          losses[-1], accs[-1])

@@ -31,9 +31,13 @@ def _zero_nonfinite(tree):
         lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), tree)
 
 
-def make_train_step(exp: ExperimentConfig, donate: bool = True):
+def make_train_step(exp: ExperimentConfig, donate: bool = True,
+                    noise_bank=None, rir_bank=None):
     lcfg = exp.train.loss
     use_remat = exp.train.remat
+    dcfg = exp.data
+    augment = (dcfg.augment_enabled
+               and (noise_bank is not None or rir_bank is not None))
 
     def step(state: TrainState, audio, labels, mask, rng) -> Tuple[TrainState, Dict]:
         rngs = {
@@ -41,6 +45,13 @@ def make_train_step(exp: ExperimentConfig, donate: bool = True):
             "specaugment": jax.random.fold_in(rng, 1),
             "lsa": jax.random.fold_in(rng, 2),
         }
+        if augment:
+            from adfmsl.data.augment import augment_waveform
+
+            audio = augment_waveform(
+                audio, jax.random.fold_in(rng, 3), noise_bank, rir_bank,
+                dcfg.augment_noise_prob, dcfg.augment_reverb_prob,
+                dcfg.augment_snr_db_min, dcfg.augment_snr_db_max)
 
         def loss_fn(params):
             variables = {"params": params}
