@@ -10,6 +10,7 @@ from adfmsl.analysis.processor import (
     ScoreFileProcessor,
     model_name_from_filename,
 )
+from adfmsl.analysis.summary import check_compatibility, count_params, model_summary
 from adfmsl.analysis.report import (
     REFERENCE_RESULTS,
     comparison_markdown,
@@ -18,6 +19,7 @@ from adfmsl.analysis.report import (
 )
 
 __all__ = [
+    "check_compatibility", "count_params", "model_summary",
     "ComparisonResult", "compare_models", "detect_architecture",
     "plot_det", "plot_model_comparison", "plot_roc", "plot_score_distributions",
     "ProcessedScores", "ScoreFileProcessor", "model_name_from_filename",

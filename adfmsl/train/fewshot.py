@@ -1,0 +1,119 @@
+"""Episodic few-shot training driver (BASELINE configs #3 and #5).
+
+Ties together: a registry trunk as embedder (its pooled 'features' output), the
+vmap-batched episodic objective (heads/episodic.py), optax, and K-shot cross-domain
+adaptation + CM scoring. The embedder runs the FULL flattened support+query batch
+through one jitted program, so every episode batch is one MXU-friendly device step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adfmsl.config.base import ExperimentConfig
+from adfmsl.data.pipeline import AsvspoofDataset
+from adfmsl.data.protocol import Protocol
+from adfmsl.heads.episodic import (
+    EpisodeSampler,
+    kshot_adapt,
+    make_episodic_train_step,
+    prototype_scores,
+)
+from adfmsl.models.mazes import build_model
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class FewshotConfig:
+    n_way: int = 2
+    k_shot: int = 5
+    q_queries: int = 5
+    episodes_per_batch: int = 4
+    n_steps: int = 100
+    temperature: float = 10.0
+    metric: str = "cosine"
+    lr: float = 1e-3
+
+
+class FewshotTrainer:
+    """Meta-train a trunk with prototypical episodes over per-attack-type classes."""
+
+    def __init__(self, exp: ExperimentConfig, fcfg: FewshotConfig,
+                 protocol: Protocol, dataset: AsvspoofDataset):
+        self.exp, self.fcfg = exp, fcfg
+        self.model = build_model(exp.model)
+        sample = jnp.zeros((2, exp.data.cut))
+        variables = self.model.init({"params": jax.random.PRNGKey(exp.train.seed)},
+                                    sample, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
+
+        def embed(params, audio):
+            v = {"params": params}
+            if self.batch_stats is not None:
+                v["batch_stats"] = self.batch_stats
+            return self.model.apply(v, audio, train=False)["features"]
+
+        self.embed = embed
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(fcfg.lr))
+        self.opt_state = self.tx.init(self.params)
+        self.step_fn = make_episodic_train_step(
+            embed, self.tx, fcfg.temperature, fcfg.metric)
+        self.sampler = EpisodeSampler(
+            protocol, lambda u: dataset.load(u)[0], fcfg.n_way, fcfg.k_shot,
+            fcfg.q_queries, fcfg.episodes_per_batch, exp.train.seed)
+        self.history: List[Dict[str, float]] = []
+
+    def fit(self, n_steps: Optional[int] = None) -> List[Dict[str, float]]:
+        n = n_steps or self.fcfg.n_steps
+        for i in range(n):
+            t0 = time.time()
+            b = self.sampler.next_batch()
+            self.params, self.opt_state, m = self.step_fn(
+                self.params, self.opt_state, jnp.asarray(b.support),
+                jnp.asarray(b.query))
+            rec = {"step": i, "loss": float(m["loss"]), "acc": float(m["acc"]),
+                   "seconds": time.time() - t0}
+            self.history.append(rec)
+            if i % 10 == 0:
+                log.info("episode step %d loss %.4f acc %.3f", i, rec["loss"],
+                         rec["acc"])
+        return self.history
+
+    # ---- config #5: K-shot adaptation to an unseen domain ----------------------
+
+    def adapt(self, support_audio: np.ndarray, support_labels: np.ndarray,
+              n_classes: int = 2) -> jnp.ndarray:
+        return kshot_adapt(self.embed, self.params, jnp.asarray(support_audio),
+                           jnp.asarray(support_labels), n_classes)
+
+    def score(self, audio: np.ndarray, prototypes: jnp.ndarray) -> np.ndarray:
+        fn = jax.jit(lambda p, a: prototype_scores(
+            self.embed, p, a, prototypes, temperature=self.fcfg.temperature))
+        return np.asarray(fn(self.params, jnp.asarray(audio)))
+
+    def score_protocol(self, dataset: AsvspoofDataset, prototypes: jnp.ndarray,
+                      batch_size: int = 32) -> Dict[str, float]:
+        """CM scores for every utterance in the dataset's protocol."""
+        utts = dataset.protocol.utt_ids
+        fn = jax.jit(lambda p, a: prototype_scores(
+            self.embed, p, a, prototypes, temperature=self.fcfg.temperature))
+        out: Dict[str, float] = {}
+        for i in range(0, len(utts), batch_size):
+            chunk = utts[i : i + batch_size]
+            audio = np.stack([dataset.load(u)[0] for u in chunk])
+            pad = batch_size - len(chunk)
+            if pad:
+                audio = np.pad(audio, [(0, pad), (0, 0)])
+            s = np.asarray(fn(self.params, jnp.asarray(audio)))
+            for u, sc in zip(chunk, s):
+                out[u] = float(sc)
+        return out

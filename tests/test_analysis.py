@@ -89,3 +89,29 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert len(back["train/loss"]) == 5
     assert back["train/loss"][0] == (0, 1.0)
     assert back["dev/acc"] == [(4, 0.9)]
+
+
+def test_model_summary_and_param_count():
+    import jax
+    import jax.numpy as jnp
+    from adfmsl.analysis import check_compatibility, count_params, model_summary
+    from adfmsl.config import make_experiment
+    from adfmsl.models import build_model
+
+    exp = make_experiment("maze5")
+    exp.data.cut = 4000
+    m = build_model(exp.model)
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 4000)), train=False)
+    n = count_params(v["params"])
+    # maze5 reference scale ~1.06M params (Eval.py:31-39); same order of magnitude
+    # (block plans follow maze4.py:192-210, exact fc sizes differ slightly)
+    assert 0.5e6 < n < 5e6
+    s = model_summary(v["params"])
+    assert "TOTAL" in s and "trunk" in s
+
+    diff = check_compatibility(v["params"], v["params"])
+    assert not any(diff.values())
+    broken = dict(v["params"])
+    broken.pop("fc2")
+    diff2 = check_compatibility(v["params"], broken)
+    assert any("fc2" in k for k in diff2["missing"])
