@@ -12,6 +12,11 @@ from adfmsl.models.blocks import (
 )
 from adfmsl.models.lcnn import LCNN
 from adfmsl.models.mazes import SPECS, MazeModel, MazeSpec, build_model, model_registry
+from adfmsl.models.pretrained import (
+    inject_pretrained_w2v2,
+    load_w2v2_params,
+    save_native,
+)
 from adfmsl.models.rawnet import RawNetEncoder
 from adfmsl.models.resnet import ResNet18
 from adfmsl.models.sincnet import SincConv
@@ -27,5 +32,6 @@ __all__ = [
     "SEBlock", "TransformerEncoderLayer", "TransformerEncoderStack",
     "LCNN", "ResNet18", "SPECS", "MazeModel", "MazeSpec", "build_model",
     "model_registry", "RawNetEncoder", "SincConv",
+    "inject_pretrained_w2v2", "load_w2v2_params", "save_native",
     "W2V2Arch", "Wav2Vec2Encoder", "load_pretrained", "port_hf_state_dict",
 ]

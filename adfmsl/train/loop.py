@@ -57,6 +57,12 @@ class Trainer:
         variables = self.model.init(
             {"params": jax.random.fold_in(self.root_key, 0)},
             jax.numpy.asarray(sample), train=False)
+        if exp.model.wav2vec2.pretrained_path or exp.model.wav2vec2.require_pretrained:
+            from adfmsl.models.pretrained import inject_pretrained_w2v2
+
+            variables = dict(variables)
+            variables["params"] = inject_pretrained_w2v2(
+                dict(variables["params"]), exp.model.wav2vec2)
         tx, self.schedule = make_optimizer(exp, max(len(train_loader), 1))
         self.state = TrainState.create(
             apply_fn=self.model.apply,

@@ -80,3 +80,26 @@ def test_oom_half_batch_retry(fixture_dir):
     assert res.utt_ids == proto.utt_ids
     assert len(res.scores) == len(proto)
     assert calls["n"] > 2    # full attempts + half-batch retries
+
+
+def test_seed_reproducibility():
+    """Two runs with the same seed must produce bit-identical parameters
+    (reference promises seed-1234 reproducibility, maze2.py:308-317)."""
+    audio = np.random.default_rng(3).standard_normal((4, 4000)).astype(np.float32)
+
+    def run():
+        exp = make_experiment("maze5")
+        exp.data.cut = 4000
+        exp.model.spec_augment.enabled = True   # exercises the PRNG streams
+        state = _setup(exp)
+        step = make_train_step(exp, donate=False)
+        rng = jax.random.PRNGKey(exp.train.seed)
+        for i in range(3):
+            state, _ = step(state, jnp.asarray(audio),
+                            jnp.asarray([0, 1, 0, 1]), jnp.ones(4, dtype=bool),
+                            jax.random.fold_in(rng, i))
+        return state.params
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
