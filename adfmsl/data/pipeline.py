@@ -42,6 +42,37 @@ def resolve_audio_path(base_dir: str, utt_id: str) -> Optional[str]:
     return None
 
 
+class FuzzyAudioResolver:
+    """Recursive-glob discovery with utt-id pattern matching — the eval scripts'
+    robust dataset fallback (Maze5_eval.py:128 ``_discover_audio_files``, :169
+    ``_find_matching_file``). One os.walk indexes every audio file under the root;
+    lookups match exact stem first, then any stem containing the utt_id."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._exact: Dict[str, str] = {}
+        self._stems: List[Tuple[str, str]] = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                stem, ext = os.path.splitext(f)
+                if ext.lower() in _EXTS:
+                    p = os.path.join(dirpath, f)
+                    self._exact.setdefault(stem, p)
+                    self._stems.append((stem, p))
+
+    def __len__(self) -> int:
+        return len(self._stems)
+
+    def resolve(self, utt_id: str) -> Optional[str]:
+        p = self._exact.get(utt_id)
+        if p:
+            return p
+        for stem, path in self._stems:
+            if utt_id in stem:
+                return path
+        return None
+
+
 @dataclass
 class Batch:
     """One fixed-shape batch. ``mask`` marks real (non-padding) rows."""
@@ -63,6 +94,7 @@ class AsvspoofDataset:
         pad_mode: str = "tile",
         sample_rate: int = 16000,
         labeled: bool = True,
+        fuzzy_discovery: bool = False,
     ):
         self.protocol = protocol
         self.base_dir = base_dir
@@ -72,12 +104,15 @@ class AsvspoofDataset:
         self.labeled = labeled
         self._labels = protocol.labels if labeled else {}
         self._warned = 0
+        self._fuzzy = FuzzyAudioResolver(base_dir) if fuzzy_discovery else None
 
     def __len__(self) -> int:
         return len(self.protocol)
 
     def load(self, utt_id: str) -> Tuple[np.ndarray, int]:
         path = resolve_audio_path(self.base_dir, utt_id)
+        if path is None and self._fuzzy is not None:
+            path = self._fuzzy.resolve(utt_id)
         if path is None:
             if self._warned < 20:
                 log.warning("missing audio for %s under %s; using zeros", utt_id, self.base_dir)

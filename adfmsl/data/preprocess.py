@@ -119,3 +119,33 @@ def validate_dataset(protocol: Protocol, base_dir: str,
                 empty.append(utt)
     n = len(protocol)
     return ValidationReport(n, n - len(missing), missing, empty)
+
+
+def explore_data_structure(root: str, max_depth: int = 3,
+                           max_entries: int = 8) -> str:
+    """Directory-layout report (maze4_fmsl_standardized.py:353-511
+    ``explore_data_structure`` analog): tree of subdirs with audio-file counts,
+    used to debug dataset path problems."""
+    lines: List[str] = [root]
+
+    def walk(d: str, depth: int, prefix: str):
+        if depth > max_depth:
+            return
+        try:
+            entries = sorted(os.listdir(d))
+        except OSError as e:
+            lines.append(f"{prefix}<unreadable: {e}>")
+            return
+        dirs = [e for e in entries if os.path.isdir(os.path.join(d, e))]
+        audio = [e for e in entries if e.lower().endswith((".flac", ".wav"))]
+        other = len(entries) - len(dirs) - len(audio)
+        if audio or other:
+            lines.append(f"{prefix}[{len(audio)} audio files, {other} other]")
+        for sub in dirs[:max_entries]:
+            lines.append(f"{prefix}{sub}/")
+            walk(os.path.join(d, sub), depth + 1, prefix + "  ")
+        if len(dirs) > max_entries:
+            lines.append(f"{prefix}... +{len(dirs) - max_entries} more dirs")
+
+    walk(root, 1, "  ")
+    return "\n".join(lines)

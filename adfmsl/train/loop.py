@@ -77,6 +77,15 @@ class Trainer:
                                        metric=exp.train.early_stop_metric,
                                        mode=exp.train.early_stop_mode)
                      if checkpoint_dir else None)
+        if checkpoint_dir:
+            # persist the experiment config beside the checkpoints (the reference's
+            # rich-dict checkpoints carry 'config', maze3.py:850-880)
+            import os
+
+            from adfmsl.config.yaml_io import save_yaml
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_yaml(exp, os.path.join(checkpoint_dir, "experiment.yaml"))
         self.history: List[EpochMetrics] = []
         from adfmsl.utils.profiling import StepTimer
 

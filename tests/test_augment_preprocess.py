@@ -98,3 +98,11 @@ def test_manifest_and_validation(fixture_dir, tmp_path):
     assert rep.ok and rep.found == rep.total
     rep_bad = validate_dataset(proto, "/nonexistent")
     assert not rep_bad.ok and len(rep_bad.missing) == rep.total
+
+
+def test_explore_data_structure(fixture_dir):
+    from adfmsl.data import explore_data_structure
+
+    rep = explore_data_structure(fixture_dir["root"])
+    assert "ASVspoof2019_LA_train" in rep
+    assert "audio files" in rep

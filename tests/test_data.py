@@ -136,3 +136,29 @@ def test_missing_file_yields_zeros(fixture_dir):
     ds = AsvspoofDataset(proto, "/nonexistent/dir")
     x, y = ds.load(proto.utt_ids[0])
     assert (x == 0).all()
+
+
+def test_fuzzy_audio_resolver(fixture_dir, tmp_path):
+    import shutil
+
+    from adfmsl.data import AsvspoofDataset, FuzzyAudioResolver
+
+    # bury files in nested dirs with decorated names
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+    src = fixture_dir["train"]["audio_dir"]
+    nested = tmp_path / "deep" / "nested" / "dir"
+    nested.mkdir(parents=True)
+    import os
+
+    for f in os.listdir(src)[:4]:
+        stem, ext = os.path.splitext(f)
+        shutil.copy(os.path.join(src, f), str(nested / f"prefix_{stem}_x{ext}"))
+    r = FuzzyAudioResolver(str(tmp_path))
+    assert len(r) == 4
+    utt = os.path.splitext(os.listdir(src)[0])[0]
+    assert r.resolve(utt) is not None
+    assert r.resolve("NO_SUCH_UTT") is None
+
+    ds = AsvspoofDataset(proto, str(tmp_path), cut=8000, fuzzy_discovery=True)
+    x, _ = ds.load(utt)
+    assert (x != 0).any()
