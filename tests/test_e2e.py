@@ -109,3 +109,31 @@ def test_cli_analyze(trained, fixture_dir, tmp_path, capsys):
     assert (tmp_path / "out" / "results.csv").exists()
     assert (tmp_path / "out" / "report.md").exists()
     assert "maze5" in capsys.readouterr().out
+
+
+def test_fmsl_model_trains_end_to_end(fixture_dir):
+    """maze5_fmsl (Mode A) short training run: loss decreases, scores produced
+    (quality is covered by the maze5 path; this exercises the FMSL head e2e)."""
+    exp = make_experiment("maze5_fmsl")
+    exp.data.cut = 16000
+    exp.train.batch_size = 8
+    exp.train.num_epochs = 3
+    exp.train.optimizer.lr = 1e-3
+    exp.model.spec_augment.enabled = False
+    train_proto = parse_protocol(fixture_dir["train"]["protocol"])
+    loader = make_dataset_and_loader(exp, train_proto,
+                                     fixture_dir["train"]["audio_dir"], shuffle=True)
+    trainer = Trainer(exp, loader)
+    hist = trainer.fit()
+    assert hist[-1].train_loss < hist[0].train_loss
+    assert all(np.isfinite(h.train_loss) for h in hist)
+
+    eval_proto = parse_protocol(fixture_dir["eval"]["protocol"])
+    eloader = make_dataset_and_loader(exp, eval_proto,
+                                      fixture_dir["eval"]["audio_dir"],
+                                      shuffle=False, batch_size=8, drop_last=False)
+    from adfmsl.evaluation import produce_scores
+
+    res = produce_scores(trainer.state, eloader, trainer.eval_step)
+    assert len(res.scores) == len(eval_proto)
+    assert np.isfinite(res.scores).all()
