@@ -52,7 +52,7 @@ BASELINE_MODELS = ["main", "maze2", "maze3", "maze4", "maze5", "maze6", "maze7",
 FMSL_MODELS = [f"{m}_fmsl" for m in BASELINE_MODELS]
 ALL_MODELS = BASELINE_MODELS + FMSL_MODELS
 # Extra TPU-native model families beyond the reference zoo (BASELINE.json configs 1-2).
-EXTRA_MODELS = ["lcnn_lfcc", "resnet18_logmel"]
+EXTRA_MODELS = ["lcnn_lfcc", "lcnn1d_lfcc", "resnet18_logmel"]
 
 
 def get_standardized_config(model_type: str = "baseline") -> Dict[str, Any]:
@@ -83,7 +83,7 @@ def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentCon
         frontend = FrontendConfig(name="wav2vec2")
     elif base in {"main", "maze4", "maze5"}:
         frontend = FrontendConfig(name="sinc")
-    elif name == "lcnn_lfcc":
+    elif name in ("lcnn_lfcc", "lcnn1d_lfcc"):
         frontend = FrontendConfig(name="lfcc", n_lfcc=60)
     elif name == "resnet18_logmel":
         frontend = FrontendConfig(name="logmel", n_mels=80)

