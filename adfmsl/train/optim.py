@@ -63,14 +63,17 @@ def _param_label_fn(exp: ExperimentConfig) -> Callable:
 
     def label(path, _leaf):
         keys = [getattr(p, "key", None) for p in path]
-        if "wav2vec2" in keys:
-            if w.freeze and not unfrozen_layers:
-                return "frozen"
-            sub = set(keys) & unfrozen_layers
-            if sub or not w.freeze:
+        if "wav2vec2" not in keys:
+            return "main"
+        if unfrozen_layers:
+            # partial-unfreezing mode (maze6.py:103-165): ONLY the last-N encoder
+            # layers (+ optionally the conv feature extractor) train, at backbone LR
+            if set(keys) & unfrozen_layers:
+                return "backbone"
+            if w.unfreeze_feature_extractor and "feature_extractor" in keys:
                 return "backbone"
             return "frozen"
-        return "main"
+        return "frozen" if w.freeze else "backbone"
 
     return label
 

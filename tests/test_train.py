@@ -151,3 +151,51 @@ def test_plateau_tracker():
     assert pt.update(0.9) == 1.0
     assert pt.update(0.95) == 1.0  # 1 bad
     assert pt.update(0.95) == 0.5  # over patience -> scale
+
+
+def test_partial_unfreeze_labels_maze6():
+    """maze6: wav2vec2 unfreeze_last_n trains ONLY the last N encoder layers at the
+    backbone LR; everything else in the encoder stays frozen (maze6.py:666-678
+    differential-LR groups)."""
+    exp = _tiny_exp("maze6")
+    exp.model.wav2vec2.freeze = True
+    exp.model.wav2vec2.unfreeze_last_n = 1   # tiny arch has 2 layers -> layers_1
+    exp.model.wav2vec2.output_dim = 768      # label fn derives 12-layer numbering...
+    # tiny arch has layers_0/1; emulate by unfreezing explicitly against 12-layer
+    # numbering: layers_11 doesn't exist in tiny, so check the label fn directly
+    from adfmsl.train.optim import _param_label_fn
+
+    label = _param_label_fn(exp)
+
+    class K:  # fake path entries
+        def __init__(self, key):
+            self.key = key
+
+    def lab(*keys):
+        return label([K(k) for k in keys], None)
+
+    assert lab("wav2vec2", "layers_11", "attention", "query", "kernel") == "backbone"
+    assert lab("wav2vec2", "layers_3", "attention", "query", "kernel") == "frozen"
+    assert lab("wav2vec2", "feature_extractor", "conv_layers_0", "conv", "kernel") == "frozen"
+    assert lab("trunk", "block0", "conv1", "kernel") == "main"
+    # with partial unfreezing active, non-listed layers stay frozen even when
+    # freeze=False (reference maze6 trains ONLY the last-N layers)
+    exp.model.wav2vec2.freeze = False
+    label_p = _param_label_fn(exp)
+    assert label_p([K("wav2vec2"), K("layers_3"), K("kernel")], None) == "frozen"
+    assert label_p([K("wav2vec2"), K("layers_11"), K("kernel")], None) == "backbone"
+    # unfreeze_feature_extractor opt-in
+    exp.model.wav2vec2.unfreeze_feature_extractor = True
+    label_fe = _param_label_fn(exp)
+    assert label_fe([K("wav2vec2"), K("feature_extractor"), K("conv_layers_0"),
+                     K("conv"), K("kernel")], None) == "backbone"
+    exp.model.wav2vec2.unfreeze_feature_extractor = False
+    # fully frozen when unfreeze_last_n = 0
+    exp.model.wav2vec2.unfreeze_last_n = 0
+    exp.model.wav2vec2.freeze = True
+    label2 = _param_label_fn(exp)
+    assert label2([K("wav2vec2"), K("layers_11"), K("kernel")], None) == "frozen"
+    # fully unfrozen
+    exp.model.wav2vec2.freeze = False
+    label3 = _param_label_fn(exp)
+    assert label3([K("wav2vec2"), K("layers_3"), K("kernel")], None) == "backbone"
