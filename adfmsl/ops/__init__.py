@@ -9,6 +9,8 @@ from adfmsl.ops.mel import (
     mel_to_hz,
 )
 from adfmsl.ops.sinc import sinc_conv, sinc_filters, sinc_init
+from adfmsl.ops.pallas.lfcc_fused import lfcc_fused
+from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
 from adfmsl.ops.specaugment import spec_augment
 from adfmsl.ops.stft import power_spectrogram, stft_conv, stft_fft, stft_matmul
 from adfmsl.ops.window import frame, hann, num_frames
@@ -18,6 +20,7 @@ __all__ = [
     "apply_filterbank", "hz_to_mel", "linear_filterbank", "log_compress",
     "mel_filterbank", "mel_to_hz",
     "sinc_conv", "sinc_filters", "sinc_init", "spec_augment",
+    "lfcc_fused", "sinc_abs_pool_fused",
     "power_spectrogram", "stft_conv", "stft_fft", "stft_matmul",
     "frame", "hann", "num_frames",
 ]

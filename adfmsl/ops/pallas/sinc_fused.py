@@ -1,0 +1,122 @@
+"""Fused SincConv + |.| + MaxPool(3) Pallas kernel (the RawNet front end).
+
+XLA runs the block-GEMM sinc convolution at ~5 ms/batch8 and then spends another
+~1 ms materialising the (B, C, 64350) f32 conv output just to 3:1 max-pool it
+(measured; the pool does not fuse into the GEMM epilogue). This kernel keeps the
+whole front end in VMEM per tile:
+
+  grid (batch, pooled-position tiles, channel tiles):
+    DMA 5 x-chunk rows (128 samples each) HBM -> VMEM
+    out_conv(3*128, C_sub) = sum_j X_rows[j:j+3] @ M_j        (bf16 MXU, f32 acc)
+    |out_conv| -> reshape (128, 3, C_sub) -> max over the pool axis
+    write (128, C_sub) pooled tile
+
+where M_j are the block-Toeplitz matrices of ops.sinc.sinc_conv_block_gemm, held
+resident in VMEM in bf16, channel-tiled to fit. Inference/serving path: filters are
+baked per call (no custom VJP) — training uses the XLA block-GEMM path.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 128     # samples per x-chunk row == conv positions per sub-block
+_POOL = 3
+_SUBS = 48   # conv sub-blocks per tile: 48*128/3 = 2048 pooled positions/tile;
+             # swept on v5e: 3->5.1ms, 12->3.35, 48->3.12 (best), 168 OOMs VMEM
+
+
+def _build_m(filters: jnp.ndarray, c_tile: int):
+    """(C, K) filters -> (nj, BLOCK, n_ctiles, BLOCK*c_tile) bf16 block-Toeplitz
+    weights with channel-tiled columns (col = p*c_tile + c within a tile)."""
+    c, k = filters.shape
+    nj = (_BLOCK + k - 1 + _BLOCK - 1) // _BLOCK
+    p_idx = jnp.arange(_BLOCK)[:, None]
+    i_idx = jnp.arange(_BLOCK)[None, :]
+    f_t = filters.T                                     # (K, C)
+    mats = []
+    for j in range(nj):
+        k_idx = j * _BLOCK + p_idx - i_idx
+        valid = (k_idx >= 0) & (k_idx < k)
+        mj = jnp.take(f_t, jnp.clip(k_idx, 0, k - 1), axis=0)       # (B, B, C)
+        mj = jnp.where(valid[:, :, None], mj, 0.0)
+        # channel-tile the last axis: (B, B, n_ct, c_tile) -> (B, n_ct, B*c_tile)
+        n_ct = c // c_tile
+        mj = mj.reshape(_BLOCK, _BLOCK, n_ct, c_tile).transpose(0, 2, 1, 3)
+        mats.append(mj.reshape(_BLOCK, n_ct, _BLOCK * c_tile))
+    m = jnp.stack(mats)                                  # (nj, B, n_ct, B*ct)
+    return jnp.transpose(m, (2, 0, 1, 3)).astype(jnp.bfloat16)  # (n_ct, nj, B, B*ct)
+
+
+def _kernel(x_hbm, m_ref, out_ref, scratch, sem, *, nj, c_tile):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rows = _SUBS + nj - 1
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * _SUBS, rows), :], scratch.at[pl.ds(0, rows), :], sem)
+    dma.start()
+    dma.wait()
+
+    acc = None
+    for j in range(nj):
+        lhs = scratch[pl.ds(j, _SUBS), :].astype(jnp.bfloat16)       # (SUBS, B)
+        rhs = m_ref[0, j, :, :]                                      # (B, B*ct)
+        contrib = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+        acc = contrib if acc is None else acc + contrib
+    # acc: (SUBS, BLOCK*c_tile) == conv positions (SUBS*BLOCK, c_tile)
+    conv = jnp.abs(acc.reshape(_SUBS * _BLOCK, c_tile))
+    pooled = jnp.max(conv.reshape(_SUBS * _BLOCK // _POOL, _POOL, c_tile), axis=1)
+    out_ref[0] = pooled
+
+
+@functools.partial(jax.jit, static_argnames=("c_tile", "interpret"))
+def sinc_abs_pool_fused(x: jnp.ndarray, filters: jnp.ndarray, c_tile: int = 128,
+                        interpret: bool = False) -> jnp.ndarray:
+    """(B, T) x (C, K) -> (B, T3, C) where T3 = (T-K+1)//3 pooled frames.
+
+    Equivalent to max_pool(|sinc_conv(x, f)|, 3) with VALID conv; channels must be
+    divisible by c_tile.
+    """
+    b, t = x.shape
+    c, k = filters.shape
+    if c % c_tile:
+        raise ValueError(f"channels {c} not divisible by c_tile {c_tile}")
+    nj = (_BLOCK + k - 1 + _BLOCK - 1) // _BLOCK
+    t_out = t - k + 1
+    t3 = t_out // _POOL
+    pooled_per_tile = _SUBS * _BLOCK // _POOL
+    n_tiles = -(-t3 // pooled_per_tile)
+    rows_needed = n_tiles * _SUBS + (nj - 1)
+    t_pad = rows_needed * _BLOCK
+    xp = jnp.pad(x, [(0, 0), (0, max(0, t_pad - t))])[:, :t_pad]
+    xp = xp.reshape(b, rows_needed, _BLOCK)
+
+    m = _build_m(filters, c_tile)                        # (nj, B, n_ct, B*ct)
+    n_ct = c // c_tile
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, nj=nj, c_tile=c_tile),
+        grid=(b, n_tiles, n_ct),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nj, _BLOCK, _BLOCK * c_tile),
+                         lambda b, t, ct: (ct, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pooled_per_tile, c_tile),
+                               lambda b, t, ct: (b, t, ct),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * pooled_per_tile, c),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_SUBS + nj - 1, _BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, m)
+    return out[:, :t3, :]
