@@ -36,6 +36,7 @@ class EpochMetrics:
     dev_acc: float
     seconds: float
     skipped_batches: int = 0
+    dev_eer: float = float("nan")
 
 
 class Trainer:
@@ -120,14 +121,31 @@ class Trainer:
 
     def evaluate_accuracy(self, loader: DataLoader) -> float:
         """Dev-set accuracy (reference evaluate_accuracy, maze2.py:319-331)."""
+        return self.evaluate_metrics(loader)[0]
+
+    def evaluate_metrics(self, loader: DataLoader):
+        """(accuracy, eer) over a labelled loader. EER in the dev loop mirrors
+        maze3's in-training metric computation (maze3.py:809-848)."""
+        from adfmsl.evaluation.metrics import compute_eer
+
         correct, count = 0.0, 0.0
+        scores, labels = [], []
         for batch in loader:
             out = self.eval_step(self.state, jax.numpy.asarray(batch.audio),
                                  jax.numpy.asarray(batch.label),
                                  jax.numpy.asarray(batch.mask))
             correct += float(out["correct"])
             count += float(out["count"])
-        return correct / max(count, 1.0)
+            s = np.asarray(out["scores"])
+            for sc, y, m in zip(s, batch.label, batch.mask):
+                if m:
+                    scores.append(float(sc))
+                    labels.append(int(y))
+        acc = correct / max(count, 1.0)
+        eer = float("nan")
+        if len(set(labels)) == 2:
+            eer, _ = compute_eer(np.asarray(scores), np.asarray(labels))
+        return acc, eer
 
     def fit(self, num_epochs: Optional[int] = None) -> List[EpochMetrics]:
         n = num_epochs or self.exp.train.num_epochs
@@ -139,20 +157,25 @@ class Trainer:
         for epoch in range(n):
             t0 = time.time()
             tm = self.train_epoch(epoch)
-            dev_acc = (self.evaluate_accuracy(self.dev_loader)
-                       if self.dev_loader is not None else float("nan"))
+            dev_acc, dev_eer = ((self.evaluate_metrics(self.dev_loader))
+                                if self.dev_loader is not None
+                                else (float("nan"), float("nan")))
             em = EpochMetrics(epoch, tm["loss"], tm["acc"], dev_acc,
-                              time.time() - t0, tm["skipped"])
+                              time.time() - t0, tm["skipped"], dev_eer)
             self.history.append(em)
-            log.info("epoch %d done: loss %.4f train_acc %.3f dev_acc %.3f (%.1fs)",
-                     epoch, em.train_loss, em.train_acc, em.dev_acc, em.seconds)
+            log.info("epoch %d done: loss %.4f train_acc %.3f dev_acc %.3f "
+                     "dev_eer %.3f (%.1fs)", epoch, em.train_loss, em.train_acc,
+                     em.dev_acc, em.dev_eer, em.seconds)
             if self.metric_hook:
                 self.metric_hook(em)
             if self.ckpt:
                 self.ckpt.save(epoch, self.state,
-                               {"dev_acc": dev_acc, "train_loss": tm["loss"]})
-            if stopper is not None and not np.isnan(dev_acc):
-                if stopper.step(dev_acc):
+                               {"dev_acc": dev_acc, "dev_eer": dev_eer,
+                                "train_loss": tm["loss"]})
+            stop_value = (dev_eer if self.exp.train.early_stop_metric == "dev_eer"
+                          else dev_acc)
+            if stopper is not None and not np.isnan(stop_value):
+                if stopper.step(stop_value):
                     log.info("early stopping at epoch %d", epoch)
                     break
         return self.history

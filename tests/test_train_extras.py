@@ -103,3 +103,25 @@ def test_seed_reproducibility():
     a, b = run(), run()
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_reports_dev_eer(fixture_dir):
+    from adfmsl.data import parse_protocol
+    from adfmsl.train import Trainer, make_dataset_and_loader
+
+    exp = make_experiment("maze5")
+    exp.data.cut = 8000
+    exp.train.batch_size = 8
+    exp.train.num_epochs = 1
+    exp.model.spec_augment.enabled = False
+    tp = parse_protocol(fixture_dir["train"]["protocol"])
+    dp = parse_protocol(fixture_dir["dev"]["protocol"])
+    tl = make_dataset_and_loader(exp, tp, fixture_dir["train"]["audio_dir"],
+                                 shuffle=True)
+    dl = make_dataset_and_loader(exp, dp, fixture_dir["dev"]["audio_dir"],
+                                 shuffle=False, batch_size=8, drop_last=False)
+    trainer = Trainer(exp, tl, dl)
+    hist = trainer.fit()
+    assert 0.0 <= hist[0].dev_eer <= 1.0
+    acc, eer = trainer.evaluate_metrics(dl)
+    assert 0.0 <= acc <= 1.0 and 0.0 <= eer <= 1.0
