@@ -89,6 +89,8 @@ class MazeModel(nn.Module):
                                   sinc_kernel=cfg.architecture.first_conv,
                                   feature_dim=cfg.architecture.nb_fc_node,
                                   sinc_formula=cfg.architecture.sinc_formula,
+                                  fused_eval_frontend=cfg.extra.get(
+                                      "fused_eval_frontend", False),
                                   name="encoder")(x, train=train)
             pooled = feats
         else:

@@ -58,6 +58,7 @@ class RawNetEncoder(nn.Module):
     feature_dim: int = 1024
     sample_rate: int = 16000
     sinc_formula: str = "textbook"
+    fused_eval_frontend: bool = False   # Pallas fused sinc+|.|+pool3 at eval (TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

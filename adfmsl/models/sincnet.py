@@ -22,17 +22,33 @@ class SincConv(nn.Module):
     formula: str = "textbook"
     impl: str = "block_gemm"   # GEMM-native: identical output, ~40x faster compile
                                # than XLA's 1-channel conv lowering (ops/sinc.py)
+    # 'abs_pool3' fuses the RawNet front end epilogue (|.| + MaxPool3). With
+    # fused_eval=True the whole front end runs as the Pallas kernel at eval time
+    # (2x the XLA composition on v5e; TPU only — training stays differentiable XLA).
+    post: str = "none"
+    fused_eval: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T) -> (B, T', C)
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         low0, band0 = sinc_init(self.out_channels, self.sample_rate,
                                 self.min_low_hz, self.min_band_hz)
         low = self.param("low_hz", lambda _: jnp.asarray(low0))
         band = self.param("band_hz", lambda _: jnp.asarray(band0))
         filt = sinc_filters(low, band, self.kernel_size, self.sample_rate,
                             self.min_low_hz, self.min_band_hz, self.formula)
+        if (self.post == "abs_pool3" and self.fused_eval and not train
+                and self.stride == 1):
+            from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
+
+            return sinc_abs_pool_fused(x, filt)          # (B, T3, C)
         if self.impl == "block_gemm" and self.stride == 1:
             y = sinc_conv_block_gemm(x, filt)            # (B, C, T')
         else:
             y = sinc_conv(x, filt, stride=self.stride)
-        return jnp.transpose(y, (0, 2, 1))
+        h = jnp.transpose(y, (0, 2, 1))                  # (B, T', C)
+        if self.post == "abs_pool3":
+            import flax.linen as _nn
+
+            h = jnp.abs(h)
+            h = _nn.max_pool(h, (3,), strides=(3,))
+        return h
