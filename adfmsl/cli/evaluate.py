@@ -23,7 +23,11 @@ def build_parser():
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output", default=None, help="score file path")
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--cut", type=int, default=None,
+                   help="override fixed clip length in samples (default 64600)")
     p.add_argument("--no_drift", action="store_true")
+    p.add_argument("--no_fused_frontend", action="store_true",
+                   help="disable the Pallas fused sinc front end (rawnet models)")
     p.add_argument("--smoke_test", action="store_true",
                    help="synthetic forward-pass check before evaluation")
     return p
@@ -54,6 +58,13 @@ def main(argv=None) -> int:
     from adfmsl.train import Trainer, make_dataset_and_loader
 
     exp = make_experiment(args.model_type, drift=not args.no_drift)
+    if args.cut:
+        exp.data.cut = args.cut
+    from adfmsl.models.mazes import SPECS
+    if SPECS.get(args.model_type) and SPECS[args.model_type].frontend == "rawnet":
+        # Eval-only Pallas fused sinc+|.|+pool3 front end (2x the XLA composition
+        # on v5e; interpret-mode on non-TPU backends). Training is unaffected.
+        exp.model.extra["fused_eval_frontend"] = not args.no_fused_frontend
     proto = parse_protocol(args.protocol, exp.data.label_polarity)
     loader = make_dataset_and_loader(exp, proto, args.data_dir, shuffle=False,
                                      batch_size=args.batch_size, drop_last=False)

@@ -63,10 +63,15 @@ class RawNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Front end: sinc conv -> |.| -> MaxPool(3) (main_fmsl_standardized.py:101-110).
+        # The epilogue lives inside SincConv (post='abs_pool3') so that with
+        # fused_eval_frontend=True the whole front end runs as ONE Pallas kernel at
+        # eval time (2x the XLA composition on v5e); training stays on the
+        # differentiable XLA block-GEMM path either way.
         h = SincConv(self.sinc_channels, self.sinc_kernel, self.sample_rate,
-                     formula=self.sinc_formula, name="sinc")(x)                      # (B, T', C)
-        h = jnp.abs(h)
-        h = nn.max_pool(h, (3,), strides=(3,))
+                     formula=self.sinc_formula, post="abs_pool3",
+                     fused_eval=self.fused_eval_frontend,
+                     name="sinc")(x, train=train)                                    # (B, T3, C)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
         h = nn.selu(h)
 

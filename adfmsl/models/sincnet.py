@@ -38,9 +38,14 @@ class SincConv(nn.Module):
                             self.min_low_hz, self.min_band_hz, self.formula)
         if (self.post == "abs_pool3" and self.fused_eval and not train
                 and self.stride == 1):
+            import jax
+
             from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
 
-            return sinc_abs_pool_fused(x, filt)          # (B, T3, C)
+            # Mosaic kernels only compile on TPU; everywhere else (CPU tests,
+            # virtual meshes) run the same kernel in interpret mode.
+            interpret = jax.default_backend() != "tpu"
+            return sinc_abs_pool_fused(x, filt, interpret=interpret)  # (B, T3, C)
         if self.impl == "block_gemm" and self.stride == 1:
             y = sinc_conv_block_gemm(x, filt)            # (B, C, T')
         else:

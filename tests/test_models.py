@@ -109,3 +109,45 @@ def test_lcnn1d_forward():
     out = m.apply(variables, X, train=False)
     assert out["logits"].shape == (2, 2)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_rawnet_fused_eval_frontend_through_model():
+    """fused_eval_frontend must actually route the RawNet front end through the
+    Pallas fused kernel (interpret mode on the CPU test platform): the SincConv
+    module output is bit-identical to calling the kernel directly, and the full
+    model's eval logits match the XLA composition within bf16 tolerance."""
+    from adfmsl.models.sincnet import SincConv
+    from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
+    from adfmsl.ops.sinc import sinc_filters
+
+    exp_ref, m_ref, variables = _build("main")
+    exp_fused = make_experiment("main")
+    exp_fused.model.extra["fused_eval_frontend"] = True
+    m_fused = build_model(exp_fused.model)
+
+    out_ref = m_ref.apply(variables, X, train=False)
+    out_fused = m_fused.apply(variables, X, train=False)
+    scale = float(np.abs(np.asarray(out_ref["logits"])).max())
+    np.testing.assert_allclose(np.asarray(out_fused["logits"]),
+                               np.asarray(out_ref["logits"]),
+                               atol=0.1 * scale + 1e-4)
+
+    # bit-for-bit: the module path IS the kernel path
+    arch = exp_ref.model.architecture
+    sp = variables["params"]["encoder"]["sinc"]
+    sc = SincConv(arch.filts[0], arch.first_conv, arch.sample_rate,
+                  formula=arch.sinc_formula, post="abs_pool3", fused_eval=True)
+    got = sc.apply({"params": sp}, X, train=False)
+    filt = sinc_filters(sp["low_hz"], sp["band_hz"], arch.first_conv,
+                        arch.sample_rate, 50.0, 50.0, arch.sinc_formula)
+    direct = sinc_abs_pool_fused(X, filt, interpret=True)
+    assert got.shape == direct.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(direct))
+
+    # train mode must stay on the differentiable XLA path (identical either way)
+    out_t1, _ = m_fused.apply(variables, X, train=True, rngs=RNGS,
+                              mutable=["batch_stats"])
+    out_t2, _ = m_ref.apply(variables, X, train=True, rngs=RNGS,
+                            mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out_t1["logits"]),
+                                  np.asarray(out_t2["logits"]))
