@@ -62,13 +62,20 @@ def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(x, target_sr // g, sr // g).astype(np.float32)
 
 
-def load_audio(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
-    """Decode FLAC/WAV to mono float32 at ``target_sr`` (librosa.load analog)."""
+def load_audio(path: str, target_sr: int = 16000,
+               prefer_native: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode FLAC/WAV to mono float32 at ``target_sr`` (librosa.load analog).
+
+    ``prefer_native=False`` keeps WAV decode in pure numpy (DataConfig.use_native_io
+    off); FLAC always needs the native decoder — there is no Python fallback.
+    """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".flac":
         from adfmsl.io_native import decode_flac  # lazy: needs the compiled lib
 
         x, sr = decode_flac(path)
+    elif not prefer_native:
+        x, sr = read_wav(path)
     else:
         try:
             from adfmsl.io_native import native_available, decode_wav_native

@@ -95,6 +95,8 @@ class AsvspoofDataset:
         sample_rate: int = 16000,
         labeled: bool = True,
         fuzzy_discovery: bool = False,
+        use_native_io: bool = True,
+        num_workers: int = 2,
     ):
         self.protocol = protocol
         self.base_dir = base_dir
@@ -102,6 +104,8 @@ class AsvspoofDataset:
         self.pad_mode = pad_mode
         self.sample_rate = sample_rate
         self.labeled = labeled
+        self.use_native_io = use_native_io
+        self.num_workers = max(1, num_workers)
         self._labels = protocol.labels if labeled else {}
         self._warned = 0
         self._fuzzy = FuzzyAudioResolver(base_dir) if fuzzy_discovery else None
@@ -109,26 +113,53 @@ class AsvspoofDataset:
     def __len__(self) -> int:
         return len(self.protocol)
 
-    def load(self, utt_id: str) -> Tuple[np.ndarray, int]:
+    def _resolve(self, utt_id: str) -> Optional[str]:
         path = resolve_audio_path(self.base_dir, utt_id)
         if path is None and self._fuzzy is not None:
             path = self._fuzzy.resolve(utt_id)
+        if path is None and self._warned < 20:
+            log.warning("missing audio for %s under %s; using zeros", utt_id,
+                        self.base_dir)
+            self._warned += 1
+        return path
+
+    def load(self, utt_id: str) -> Tuple[np.ndarray, int]:
+        path = self._resolve(utt_id)
         if path is None:
-            if self._warned < 20:
-                log.warning("missing audio for %s under %s; using zeros", utt_id, self.base_dir)
-                self._warned += 1
             return np.zeros(self.cut, dtype=np.float32), self._labels.get(utt_id, 0)
-        x, _ = load_audio(path, self.sample_rate)
+        x, _ = load_audio(path, self.sample_rate, prefer_native=self.use_native_io)
         return pad(x, self.cut, self.pad_mode).astype(np.float32), self._labels.get(utt_id, 0)
+
+    def load_batch(self, ids: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode+pad a whole batch. With ``use_native_io`` and the compiled
+        library present, the C++ thread-pooled loader decodes all files in one
+        call (``num_workers`` native threads — the reference's
+        DataLoader(num_workers=...) analog, maze2.py:473); rows whose source rate
+        differs from ``sample_rate`` fall back to the per-file resampling path."""
+        labels = np.asarray([self._labels.get(u, 0) for u in ids], dtype=np.int32)
+        from adfmsl.io_native import batch_decode_pad, native_available
+
+        if not (self.use_native_io and native_available()):
+            audio = np.stack([self.load(u)[0] for u in ids]) if ids else (
+                np.zeros((0, self.cut), dtype=np.float32))
+            return audio, labels
+
+        paths = [self._resolve(u) or "" for u in ids]
+        audio, srs, lens = batch_decode_pad(paths, self.cut, self.pad_mode,
+                                            n_threads=self.num_workers)
+        for i, (p, sr, ln) in enumerate(zip(paths, srs, lens)):
+            if p and ln > 0 and sr != self.sample_rate:
+                audio[i], _ = self.load(ids[i])   # rare: resample path
+        return audio, labels
 
 
 def _make_batch(ds: AsvspoofDataset, ids: Sequence[str], batch_size: int) -> Batch:
     audio = np.zeros((batch_size, ds.cut), dtype=np.float32)
     label = np.zeros(batch_size, dtype=np.int32)
     mask = np.zeros(batch_size, dtype=bool)
-    for i, u in enumerate(ids):
-        x, y = ds.load(u)
-        audio[i], label[i], mask[i] = x, y, True
+    if ids:
+        a, y = ds.load_batch(ids)
+        audio[: len(ids)], label[: len(ids)], mask[: len(ids)] = a, y, True
     return Batch(audio, label, mask, list(ids) + [""] * (batch_size - len(ids)))
 
 

@@ -93,7 +93,14 @@ class Trainer:
         self.timer = StepTimer()
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        losses, accs, skipped = [], [], 0
+        # Metrics accumulate ON DEVICE and are drained to the host only every
+        # log_every_steps (one ~28 ms sync per drain on the tunneled backend —
+        # the per-step float() it replaces capped training at ~35 steps/s; same
+        # pattern as evaluation/runner.py's async pipelining).
+        import jax.numpy as jnp
+
+        loss_sum = acc_sum = skip_sum = None
+        in_s0 = self.timer.totals.get("input", 0.0)
         it = iter(self.train_loader)
         i = 0
         while True:
@@ -108,16 +115,24 @@ class Trainer:
                     self.state, jax.numpy.asarray(batch.audio),
                     jax.numpy.asarray(batch.label),
                     jax.numpy.asarray(batch.mask), rng)
-                losses.append(float(m["loss"]))
-            accs.append(float(m["acc"]))
-            skipped += int(m["skipped"])
+            if loss_sum is None:
+                loss_sum, acc_sum, skip_sum = m["loss"], m["acc"], m["skipped"]
+            else:
+                loss_sum = loss_sum + m["loss"]
+                acc_sum = acc_sum + m["acc"]
+                skip_sum = skip_sum + m["skipped"]
             i += 1
             if self.exp.train.log_every_steps and i % self.exp.train.log_every_steps == 0:
                 log.info("epoch %d step %d loss %.4f acc %.3f", epoch, i,
-                         losses[-1], accs[-1])
-        return {"loss": float(np.mean(losses)) if losses else 0.0,
-                "acc": float(np.mean(accs)) if accs else 0.0,
-                "skipped": skipped}
+                         float(m["loss"]), float(m["acc"]))
+        n = max(i, 1)
+        in_s = self.timer.totals.get("input", 0.0) - in_s0
+        if in_s > 0 and i > 0:
+            log.info("epoch %d input wait: %.2fs (%.0f utt/s consumer-side)",
+                     epoch, in_s, i * self.train_loader.batch_size / in_s)
+        return {"loss": float(loss_sum) / n if loss_sum is not None else 0.0,
+                "acc": float(acc_sum) / n if acc_sum is not None else 0.0,
+                "skipped": int(skip_sum) if skip_sum is not None else 0}
 
     def evaluate_accuracy(self, loader: DataLoader) -> float:
         """Dev-set accuracy (reference evaluate_accuracy, maze2.py:319-331)."""
@@ -154,6 +169,15 @@ class Trainer:
             stopper = EarlyStopper(self.exp.train.early_stop_patience,
                                    self.exp.train.early_stop_min_delta,
                                    self.exp.train.early_stop_mode)
+        plateau = None
+        ocfg = self.exp.train.optimizer
+        if ocfg.scheduler == "plateau":
+            # ReduceLROnPlateau analog (maze3.py:327-374): watches dev EER (or
+            # train loss when no dev set) and drops the device-side LR multiplier.
+            from adfmsl.train.optim import PlateauTracker, set_plateau_scale
+
+            plateau = PlateauTracker(ocfg.plateau_patience, ocfg.plateau_factor,
+                                     mode="min")
         for epoch in range(n):
             t0 = time.time()
             tm = self.train_epoch(epoch)
@@ -172,6 +196,15 @@ class Trainer:
                 self.ckpt.save(epoch, self.state,
                                {"dev_acc": dev_acc, "dev_eer": dev_eer,
                                 "train_loss": tm["loss"]})
+            if plateau is not None:
+                watch = dev_eer if not np.isnan(dev_eer) else tm["loss"]
+                old_scale = plateau.scale
+                new_scale = plateau.update(watch)
+                if new_scale != old_scale:
+                    self.state = self.state.replace(opt_state=set_plateau_scale(
+                        self.state.opt_state, new_scale))
+                    log.info("plateau: lr scale -> %.4g (watch %.4f)",
+                             new_scale, watch)
             stop_value = (dev_eer if self.exp.train.early_stop_metric == "dev_eer"
                           else dev_acc)
             if stopper is not None and not np.isnan(stop_value):
@@ -187,7 +220,9 @@ def make_dataset_and_loader(exp: ExperimentConfig, protocol, audio_dir: str,
                             num_shards: int = 1) -> DataLoader:
     ds = AsvspoofDataset(protocol, audio_dir, cut=exp.data.cut,
                          pad_mode=exp.data.pad_mode,
-                         sample_rate=exp.data.sample_rate)
+                         sample_rate=exp.data.sample_rate,
+                         use_native_io=exp.data.use_native_io,
+                         num_workers=exp.data.num_workers)
     return DataLoader(ds, batch_size or exp.train.batch_size, shuffle=shuffle,
                       drop_last=drop_last, seed=exp.train.seed,
                       prefetch=exp.data.prefetch, shard_index=shard_index,

@@ -37,8 +37,43 @@ def make_schedule(cfg: OptimizerConfig, steps_per_epoch: int, num_epochs: int):
     if cfg.scheduler == "warmup_cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, cfg.lr, warmup_steps=max(cfg.warmup_steps, 1), decay_steps=total)
-    raise ValueError(f"unknown scheduler {cfg.scheduler!r} (plateau is handled by "
-                     "the epoch loop via PlateauTracker)")
+    if cfg.scheduler == "plateau":
+        # ReduceLROnPlateau analog: constant base LR; the epoch loop consults a
+        # PlateauTracker and rewrites the plateau-scale leaf in opt_state (see
+        # _plateau_scale / set_plateau_scale) — no recompile on LR drops.
+        return optax.constant_schedule(cfg.lr)
+    raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
+
+
+def _plateau_scale() -> optax.GradientTransformation:
+    """Final update-scaling stage whose factor is a device scalar in opt_state.
+
+    Scaling the post-Adam UPDATES is exactly an LR multiplier; keeping the factor
+    as state (not a closure constant) means the Trainer can drop the LR between
+    epochs without changing the compiled step (maze3.py:327-374's
+    ReduceLROnPlateau, TPU-native form)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(_params):
+        return jnp.asarray(1.0, dtype=jnp.float32)
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u: u * state, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Rewrite the plateau-scale leaf (the chain's last stage state)."""
+    import jax.numpy as jnp
+
+    return tuple(opt_state[:-1]) + (jnp.asarray(scale, dtype=jnp.float32),)
+
+
+def get_plateau_scale(opt_state) -> float:
+    return float(opt_state[-1])
 
 
 def _base_optimizer(cfg: OptimizerConfig, schedule) -> optax.GradientTransformation:
@@ -90,7 +125,7 @@ def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
     import jax
 
     label_fn = _param_label_fn(exp)
-    tx = optax.chain(
+    stages = [
         optax.clip_by_global_norm(ocfg.grad_clip_norm),
         optax.multi_transform(
             {
@@ -100,8 +135,10 @@ def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
             },
             lambda params: jax.tree_util.tree_map_with_path(label_fn, params),
         ),
-    )
-    return tx, schedule
+    ]
+    if ocfg.scheduler == "plateau":
+        stages.append(_plateau_scale())
+    return optax.chain(*stages), schedule
 
 
 class PlateauTracker:

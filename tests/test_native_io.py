@@ -173,3 +173,41 @@ def test_batch_decode_pad(tmp_path, flac_file):
     out_z, _, _ = batch_decode_pad([wav_path], max_len=2000, pad_mode="zero")
     np.testing.assert_allclose(out_z[0], zero_pad(short_dec.astype(np.float32), 2000),
                                atol=1e-4)
+
+
+def test_dataloader_native_batch_path(tmp_path, flac_file):
+    """DataConfig.use_native_io/num_workers drive the C++ thread-pooled batch
+    loader end-to-end through DataLoader, matching the per-file Python path."""
+    from adfmsl.data.audio import write_wav
+    from adfmsl.data.pipeline import AsvspoofDataset, DataLoader
+    from adfmsl.data.protocol import Protocol, ProtocolEntry
+
+    flac_path, _, sr = flac_file
+    ids, entries = [], []
+    for i in range(5):
+        u = f"UTT_{i:04d}"
+        if i % 2 == 0:
+            x = (0.2 * np.sin(2 * np.pi * (100 + 40 * i)
+                              * np.arange(900 + 100 * i) / sr)).astype(np.float32)
+            write_wav(str(tmp_path / f"{u}.wav"), x, sr)
+        else:
+            os.link(flac_path, str(tmp_path / f"{u}.flac"))
+        ids.append(u)
+        entries.append(ProtocolEntry("SPK", u, "-", i % 2))
+    proto = Protocol(entries)
+
+    def batches(native: bool, workers: int):
+        ds = AsvspoofDataset(proto, str(tmp_path), cut=2000, pad_mode="tile",
+                             use_native_io=native, num_workers=workers)
+        return list(DataLoader(ds, batch_size=2, shuffle=False, prefetch=0))
+
+    nat = batches(True, 3)
+    ref = batches(False, 1)
+    assert len(nat) == len(ref) == 3
+    for bn, br in zip(nat, ref):
+        np.testing.assert_allclose(bn.audio, br.audio, atol=1e-6)
+        np.testing.assert_array_equal(bn.label, br.label)
+        np.testing.assert_array_equal(bn.mask, br.mask)
+        assert bn.utt_ids == br.utt_ids
+    # final partial batch is mask-padded
+    assert nat[-1].mask.tolist() == [True, False]

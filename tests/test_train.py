@@ -199,3 +199,35 @@ def test_partial_unfreeze_labels_maze6():
     exp.model.wav2vec2.freeze = False
     label3 = _param_label_fn(exp)
     assert label3([K("wav2vec2"), K("layers_3"), K("kernel")], None) == "backbone"
+
+
+def test_plateau_scheduler_scales_updates_in_opt_state():
+    """scheduler='plateau': the LR multiplier lives as a device scalar in
+    opt_state (no recompile on drops); scale 0 freezes params, scale 1 trains."""
+    from adfmsl.train.optim import get_plateau_scale, set_plateau_scale
+
+    exp = _tiny_exp("maze5")
+    exp.train.optimizer.scheduler = "plateau"
+    s = make_schedule(exp.train.optimizer, 10, 5)
+    assert float(s(0)) == exp.train.optimizer.lr
+    model, state = _state(exp)
+    assert get_plateau_scale(state.opt_state) == 1.0
+
+    step = make_train_step(exp, donate=False)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, exp.data.cut)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 0, 1])
+    mask = jnp.ones(4, dtype=bool)
+    rng = jax.random.PRNGKey(0)
+
+    frozen = state.replace(opt_state=set_plateau_scale(state.opt_state, 0.0))
+    out_state, _ = step(frozen, audio, labels, mask, rng)
+    for a, b in zip(jax.tree_util.tree_leaves(out_state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    live, _ = step(state, audio, labels, mask, rng)
+    moved = sum(float(jnp.abs(a - b).sum()) for a, b in
+                zip(jax.tree_util.tree_leaves(live.params),
+                    jax.tree_util.tree_leaves(state.params)))
+    assert moved > 0.0
