@@ -1,15 +1,24 @@
-"""Benchmark: fused LFCC + LCNN classifier throughput on TPU vs the CPU reference.
+"""Benchmark: fused LFCC + LCNN1D throughput on TPU vs the matched CPU reference.
 
 The BASELINE north-star metric: utterances/sec/chip for the fused front-end +
 classifier pipeline on 4-second 16 kHz clips, vs the reference's CPU-bound
 librosa-front-end + torch-classifier stack (target >= 20x, BASELINE.json).
 
-TPU path: one jit-compiled program — on-device LFCC (frame/window/DFT/filterbank/DCT
-as MXU matmuls, adfmsl.ops) + LCNN forward (adfmsl.models.lcnn).
-CPU reference: float32 numpy/scipy LFCC (what librosa computes under the hood) + an
-identically-shaped torch LCNN forward on CPU, measured in-process.
+TPU paths (one jit-compiled program each, serially chained via lax.scan so a
+single host sync times N batches — block_until_ready does not wait on the
+tunneled 'axon' platform):
+- eval:  on-device LFCC (frame/window/DFT/filterbank/DCT as MXU matmuls) +
+         LCNN1D forward (adfmsl.models.lcnn).
+- train: full train step (forward, CE, backward, adam update, BN stats) scanned
+         with the TrainState as carry.
+- front end: Pallas fused sinc+|.|+pool3 kernel vs the XLA composition
+         (adfmsl.ops.pallas.sinc_fused), the RawNet eval front end.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+CPU reference: float32 numpy/scipy LFCC (what librosa computes under the hood) +
+an ARCHITECTURE-MATCHED torch LCNN1D forward on CPU (same layer plan/widths as
+the TPU model), >=10 batches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
@@ -22,16 +31,21 @@ import numpy as np
 BATCH = 128
 CUT = 64600          # 4 s @ 16 kHz
 N_ITERS = 64
-CPU_BATCHES = 2
+TRAIN_ITERS = 16
+CPU_BATCHES = 10
 CPU_BATCH = 16
+PEAK_BF16_FLOPS = 197e12      # TPU v5e per-chip bf16 peak
 
 
-def tpu_rate() -> float:
-    # NOTE: on the tunneled 'axon' platform each host<->device sync costs ~28 ms and
-    # block_until_ready does not actually wait, so per-call wall timing measures
-    # tunnel latency, not compute. All N_ITERS forwards therefore run INSIDE one jit
-    # via lax.scan with a serial data dependency (carry feeds the next input) so XLA
-    # cannot CSE or overlap them, and the single final float() forces one real sync.
+def _time_one_sync(fn, *args) -> float:
+    """Run fn twice (compile+warm, then timed); one float() forces the sync."""
+    float(fn(*args))
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def tpu_eval_rate():
     import jax
     import jax.numpy as jnp
 
@@ -54,11 +68,109 @@ def tpu_rate() -> float:
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry + sums.sum()
 
-    float(fwd_many(variables, x, N_ITERS))         # compile + warm
-    t0 = time.perf_counter()
-    float(fwd_many(variables, x, N_ITERS))         # one sync for N_ITERS batches
-    dt = time.perf_counter() - t0
-    return BATCH * N_ITERS / dt
+    dt = _time_one_sync(lambda: fwd_many(variables, x, N_ITERS))
+    rate = BATCH * N_ITERS / dt
+
+    mfu = None
+    try:
+        # XLA cost analysis counts a scan body ONCE regardless of trip count, so
+        # analyse a single-iteration program and scale by N_ITERS.
+        ca = jax.jit(fwd_many, static_argnums=2).lower(
+            variables, x, 1).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = 100.0 * flops * N_ITERS / dt / PEAK_BF16_FLOPS
+    except Exception:
+        pass
+    return rate, mfu
+
+
+def tpu_train_rate():
+    """Full train-step throughput (fwd+bwd+adam+BN stats), state as scan carry."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adfmsl.config import make_experiment
+    from adfmsl.heads.losses import compute_loss
+    from adfmsl.models import build_model
+
+    exp = make_experiment("lcnn1d_lfcc")
+    model = build_model(exp.model)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((BATCH, CUT)).astype(np.float32))
+    labels = jnp.asarray(np.arange(BATCH) % 2, dtype=jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    tx = optax.adam(1e-4)
+    key = jax.random.PRNGKey(2)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def train_many(carry0, n):
+        def loss_fn(p, bstats, xb):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bstats}, xb, labels=labels,
+                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+            loss = compute_loss("weighted_ce", out["logits"], labels,
+                                class_weights=[0.3, 0.7])
+            return loss, mut["batch_stats"]
+
+        def body(carry, _):
+            p, bstats, opt, last = carry
+            (loss, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bstats, x + last * 1e-30)
+            updates, nopt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), nbs, nopt, loss), loss
+
+        carry, losses = jax.lax.scan(body, carry0, None, length=n)
+        return losses.sum()
+
+    carry0 = (variables["params"], variables["batch_stats"],
+              tx.init(variables["params"]), jnp.float32(0.0))
+    dt = _time_one_sync(lambda: train_many(carry0, TRAIN_ITERS))
+    return BATCH * TRAIN_ITERS / dt
+
+
+def sinc_frontend_speedup():
+    """Pallas fused sinc+|.|+pool3 vs the XLA composition (RawNet eval front end);
+    TPU only (the kernel is Mosaic; interpret mode is not a perf path)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
+    from adfmsl.ops.sinc import sinc_conv_block_gemm, sinc_filters, sinc_init
+
+    low, band = sinc_init(128)
+    f = sinc_filters(jnp.asarray(low), jnp.asarray(band), 251, formula="textbook")
+    x = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal((8, CUT)).astype(np.float32))
+    iters = 32
+
+    def xla_frontend(xb):
+        y = jnp.abs(sinc_conv_block_gemm(xb, f))         # (B, C, T')
+        t3 = y.shape[-1] // 3
+        return jnp.max(y[:, :, : t3 * 3].reshape(8, 128, t3, 3), axis=-1)
+
+    def fused_frontend(xb):
+        return jnp.transpose(sinc_abs_pool_fused(xb, f), (0, 2, 1))
+
+    def many(fn):
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                y = fn(x + carry * 1e-30)
+                return y[0, 0, 0].astype(jnp.float32), y.sum()
+            carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return carry + sums.sum()
+        return run
+
+    dt_xla = _time_one_sync(many(xla_frontend), x)
+    dt_fused = _time_one_sync(many(fused_frontend), x)
+    return dt_xla / dt_fused
 
 
 def cpu_reference_rate() -> float:
@@ -90,55 +202,62 @@ def cpu_reference_rate() -> float:
             a, b = torch.chunk(x, 2, dim=1)
             return torch.maximum(a, b)
 
-    class TorchLCNN(nn.Module):
-        """Same layer plan as adfmsl.models.lcnn.LCNN (channel-first)."""
+    class TorchLCNN1D(nn.Module):
+        """ARCHITECTURE-MATCHED to adfmsl.models.lcnn.LCNN1D: same layer plan,
+        widths, MFM nonlinearity and pool placement (channel-first torch form)."""
 
         def __init__(self):
             super().__init__()
             self.net = nn.Sequential(
-                nn.Conv2d(1, 64, 5, padding=2), MFM(), nn.MaxPool2d(2),
-                nn.Conv2d(32, 64, 1), MFM(), nn.BatchNorm2d(32),
-                nn.Conv2d(32, 96, 3, padding=1), MFM(), nn.MaxPool2d(2),
-                nn.BatchNorm2d(48),
-                nn.Conv2d(48, 96, 1), MFM(), nn.BatchNorm2d(48),
-                nn.Conv2d(48, 128, 3, padding=1), MFM(), nn.MaxPool2d(2),
-                nn.Conv2d(64, 128, 1), MFM(), nn.BatchNorm2d(64),
-                nn.Conv2d(64, 64, 3, padding=1), MFM(), nn.BatchNorm2d(32),
-                nn.Conv2d(32, 64, 3, padding=1), MFM(), nn.MaxPool2d(2),
+                nn.Conv1d(n_lfcc, 128, 5, padding=2), MFM(), nn.BatchNorm1d(64),
+                nn.MaxPool1d(2),
+                nn.Conv1d(64, 192, 3, padding=1), MFM(), nn.BatchNorm1d(96),
+                nn.MaxPool1d(2),
+                nn.Conv1d(96, 256, 3, padding=1), MFM(), nn.BatchNorm1d(128),
+                nn.MaxPool1d(2),
+                nn.Conv1d(128, 128, 1), MFM(), nn.BatchNorm1d(64),
+                nn.Conv1d(64, 128, 3, padding=1), MFM(), nn.BatchNorm1d(64),
+                nn.MaxPool1d(2),
             )
-            self.fc1, self.fc2 = nn.Linear(32, 160), nn.Linear(80, 2)
-            self.mfm = MFM()
+            self.fc1, self.fc2 = nn.Linear(64, 160), nn.Linear(80, 2)
 
-        def forward(self, x):
-            h = self.net(x).mean(dim=(2, 3))
+        def forward(self, x):                            # (B, 60, T)
+            h = self.net(x).mean(dim=2)
             h = self.fc1(h)
             a, b = torch.chunk(h, 2, dim=1)
-            h = torch.maximum(a, b)
-            return F.log_softmax(self.fc2(h), dim=-1)[:, 1]
+            return F.log_softmax(self.fc2(torch.maximum(a, b)), dim=-1)[:, 1]
 
     torch.set_num_threads(max(torch.get_num_threads(), 1))
-    model = TorchLCNN().eval()
+    model = TorchLCNN1D().eval()
     rng = np.random.default_rng(0)
     batch = rng.standard_normal((CPU_BATCH, CUT)).astype(np.float32)
     with torch.no_grad():   # warmup
-        model(torch.from_numpy(lfcc_cpu(batch)).unsqueeze(1))
+        model(torch.from_numpy(lfcc_cpu(batch)).transpose(1, 2))
     t0 = time.perf_counter()
     with torch.no_grad():
         for _ in range(CPU_BATCHES):
             feats = lfcc_cpu(batch)
-            model(torch.from_numpy(feats).unsqueeze(1))
+            model(torch.from_numpy(feats).transpose(1, 2))
     dt = time.perf_counter() - t0
     return CPU_BATCH * CPU_BATCHES / dt
 
 
 def main():
-    tpu = tpu_rate()
+    eval_rate, mfu = tpu_eval_rate()
+    train_rate = tpu_train_rate()
+    fused_speedup = sinc_frontend_speedup()
     cpu = cpu_reference_rate()
     print(json.dumps({
-        "metric": "utterances/sec/chip (fused LFCC+LCNN1D, 4s clips)",
-        "value": round(tpu, 2),
+        "metric": "utterances/sec/chip (fused LFCC+LCNN1D eval, 4s clips)",
+        "value": round(eval_rate, 2),
         "unit": "utt/s/chip",
-        "vs_baseline": round(tpu / cpu, 2),
+        "vs_baseline": round(eval_rate / cpu, 2),
+        "train_utt_s_chip": round(train_rate, 2),
+        "cpu_ref_utt_s": round(cpu, 2),
+        "cpu_batches": CPU_BATCHES * CPU_BATCH,
+        "mfu_pct_est": round(mfu, 2) if mfu is not None else None,
+        "sinc_fused_frontend_speedup": (round(fused_speedup, 2)
+                                        if fused_speedup is not None else None),
     }))
 
 
