@@ -57,7 +57,19 @@ def main(argv=None) -> int:
     from adfmsl.evaluation import evaluate_to_file
     from adfmsl.train import Trainer, make_dataset_and_loader
 
-    exp = make_experiment(args.model_type, drift=not args.no_drift)
+    import os
+
+    exp_yaml = (os.path.join(args.model_path, "experiment.yaml")
+                if args.model_path else None)
+    if exp_yaml and os.path.exists(exp_yaml):
+        # checkpoints persist their full config (incl. reference-parity semantics
+        # for ported torch checkpoints, cli/convert_maze.py)
+        from adfmsl.config.yaml_io import load_yaml
+
+        exp = load_yaml(exp_yaml)
+        logging.info("loaded experiment config from %s", exp_yaml)
+    else:
+        exp = make_experiment(args.model_type, drift=not args.no_drift)
     if args.cut:
         exp.data.cut = args.cut
     from adfmsl.models.mazes import SPECS

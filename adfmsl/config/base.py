@@ -31,6 +31,12 @@ class ArchitectureConfig:
     # nearly flat across taps — see ops/sinc.py — and carries almost no spectral
     # information); 'reference' reproduces maze4.py:93-95 bit-for-bit for parity.
     sinc_formula: str = "textbook"
+    # Residual-block semantics. 'tpu' (default): non-overlapping stride-s avg pool,
+    # SE before pooling, 1x1 skip only on channel change. 'reference' reproduces
+    # maze4.py:105-147 exactly (overlap AvgPool1d(2s-1, s, pad s-1) incl. pads,
+    # SE after pooling, 1x1 skip whenever stride>1 or channels change) — required
+    # when evaluating checkpoints ported from the reference (models/port.py).
+    block_semantics: str = "tpu"
 
 
 @dataclass

@@ -49,10 +49,16 @@ class ResBlockSE(nn.Module):
     dropout_rate: float = 0.3
     first: bool = False
     use_se: bool = True
+    # 'tpu' (default): non-overlap pool, SE pre-pool, skip-conv on channel change.
+    # 'reference': exact maze4.py:105-147 semantics — AvgPool1d(2s-1, s, pad=s-1)
+    # counting pads, SE applied AFTER pooling, 1x1 skip when stride>1 OR channel
+    # change. Needed for forward parity with ported reference checkpoints.
+    semantics: str = "tpu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ref = self.semantics == "reference"
         h = x
         if not self.first:
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
@@ -66,14 +72,24 @@ class ResBlockSE(nn.Module):
                     name="conv2")(h)
 
         skip = x
-        if self.in_channels != self.out_channels:
+        if self.in_channels != self.out_channels or (ref and self.stride > 1):
             skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
                            name="downsample")(skip)
         out = h + skip
-        if self.use_se:
+        if self.use_se and not ref:
             out = SEBlock(self.out_channels, name="se")(out)
         if self.stride > 1:
-            out = nn.avg_pool(out, (self.stride,), strides=(self.stride,))
+            if ref:
+                # torch AvgPool1d(kernel=2s-1, stride=s, padding=s-1) with
+                # count_include_pad=True (flax avg_pool divides by the full
+                # window size, matching)
+                out = nn.avg_pool(out, (2 * self.stride - 1,),
+                                  strides=(self.stride,),
+                                  padding=((self.stride - 1, self.stride - 1),))
+            else:
+                out = nn.avg_pool(out, (self.stride,), strides=(self.stride,))
+        if self.use_se and ref:
+            out = SEBlock(self.out_channels, name="se")(out)
         return out
 
 
@@ -83,13 +99,15 @@ class ResStack(nn.Module):
     specs: Sequence[tuple]          # [(cin, cout, stride), ...]
     dropout_rate: float = 0.3
     use_se: bool = True
+    semantics: str = "tpu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (cin, cout, stride) in enumerate(self.specs):
             x = ResBlockSE(cin, cout, stride, self.dropout_rate, first=(i == 0),
-                           use_se=self.use_se, dtype=self.dtype,
+                           use_se=self.use_se, semantics=self.semantics,
+                           dtype=self.dtype,
                            name=f"block{i}")(x, train=train)
         return x
 

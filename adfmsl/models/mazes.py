@@ -132,6 +132,7 @@ class MazeModel(nn.Module):
 
             if spec.blocks:
                 h = ResStack(spec.blocks, cfg.architecture.dropout_rate,
+                             semantics=cfg.architecture.block_semantics,
                              dtype=dtype, name="trunk")(h, train=train)
 
             if spec.transformer:
@@ -157,6 +158,21 @@ class MazeModel(nn.Module):
                                    deterministic=not train)(feats)
             logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(feats)
             out["features"] = feats
+        elif fmsl_cfg.mode == "refine":
+            # Mode A (maze5_fmsl_standardized.py:297-336): pooled -> fc1 -> dropout
+            # -> FMSL refiner (input dim = nb_fc_node) -> normalized embeddings ->
+            # fc2; loss stays external. Matches the reference layer order so
+            # ported checkpoints evaluate bit-comparably.
+            fdim = spec.fc1 or cfg.architecture.nb_fc_node
+            h2 = nn.Dense(fdim, name="fc1")(pooled)
+            h2 = nn.Dropout(cfg.architecture.fc_dropout,
+                            deterministic=not train)(h2)
+            head = FMSLHead(fmsl_cfg, input_dim=fdim, name="fmsl")
+            fout = head(h2, labels=labels, train=train, mask=mask)
+            out["features"] = fout["embeddings"]
+            out["prototype_similarity"] = fout["prototype_similarity"]
+            logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(
+                fout["embeddings"])
         else:
             fdim = spec.fmsl_input_dim
             feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
@@ -164,18 +180,10 @@ class MazeModel(nn.Module):
             fout = head(feats, labels=labels, train=train, mask=mask)
             out["features"] = fout["embeddings"]
             out["prototype_similarity"] = fout["prototype_similarity"]
-            if fmsl_cfg.mode == "refine":
-                # Mode A (maze5_fmsl_standardized.py:324-332): embeddings feed the
-                # original classifier; loss stays external.
-                h2 = nn.Dense(spec.fc1 or 1024, name="fc1")(fout["embeddings"])
-                h2 = nn.Dropout(cfg.architecture.fc_dropout,
-                                deterministic=not train)(h2)
-                logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(h2)
-            else:
-                logits = fout["logits"]
-                if labels is not None:
-                    out["loss"] = (fout["loss"] if fmsl_cfg.mode == "integrated"
-                                   else fout["ce_loss"])
+            logits = fout["logits"]
+            if labels is not None:
+                out["loss"] = (fout["loss"] if fmsl_cfg.mode == "integrated"
+                               else fout["ce_loss"])
 
         out["logits"] = logits
         if spec.score == "log_softmax":
@@ -225,7 +233,7 @@ _FMSL_DIMS = {
     "maze2": 512,     # lazy Linear->512 (maze2_fmsl_standardized.py:466-470)
     "maze3": 256,     # maze3_fmsl_standardized.py:139-256
     "maze4": 256,     # maze4_fmsl_standardized.py:216-347 (pooled trunk dim)
-    "maze5": 256,     # refine mode, maze5_fmsl_standardized.py:214-332
+    "maze5": 256,     # unused: refine mode takes fc1's dim (maze5_fmsl_standardized.py:297-336)
     "maze6": 512,     # ASP 2x256 (maze6_fmsl_standardized.py:286-288)
     "maze7": 256,
     "maze8": 256,

@@ -1,0 +1,218 @@
+"""Port reference torch ``.pth`` maze checkpoints to adfmsl Flax params.
+
+The reference's eval layer loads trained state dicts with
+``load_state_dict(strict=False)`` (Maze5_eval.py:321 ``check_model_compatibility``,
+comprehensive_evaluation.py:411-435). This module is the adfmsl equivalent: it maps
+torch state-dict keys onto the MazeModel param/batch-stats trees so published
+reference checkpoints evaluate in this framework. Use together with the
+reference-parity config knobs (``architecture.sinc_formula='reference'``,
+``architecture.block_semantics='reference'`` — see ``reference_parity_experiment``)
+so the forward pass reproduces the torch semantics.
+
+Covered families:
+- sinc trunk (maze4 / maze5, Model4/5_RawNetSinc_SpecAugment*, maze4.py:165-247)
+- maze5_fmsl (Mode A refiner, maze5_fmsl_standardized.py:214-332)
+- w2v2-trunk models (maze3 / maze7 / maze8-like SE-residual stacks) share the trunk
+  and head mappings; the Wav2Vec2 backbone itself ports via models/pretrained.py.
+
+Layout conventions: torch Conv1d (out, in, k) -> flax (k, in, out); torch Linear
+(out, in) -> flax kernel (in, out); torch BatchNorm1d weight/bias/running_mean/
+running_var -> flax scale/bias + batch_stats mean/var. The reference SEBlock's
+Linears are bias-free (maze4.py:149-163); flax Dense biases are filled with zeros.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _t(a) -> np.ndarray:
+    """torch tensor / array -> float32 numpy."""
+    if hasattr(a, "detach"):
+        a = a.detach().cpu().numpy()
+    return np.asarray(a, dtype=np.float32)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a ``.pth``/``.pt`` checkpoint into {key: np.ndarray}. Accepts both bare
+    state dicts and the reference's rich-dict checkpoints carrying
+    'model_state_dict' (maze3.py:850-880)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _t(v) for k, v in obj.items() if hasattr(v, "shape")}
+
+
+class _Mapper:
+    """Accumulates (params, batch_stats) assignments, tracking consumed torch keys."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+        self.missing: list = []
+
+    def _set(self, tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    def take(self, key: str) -> Optional[np.ndarray]:
+        if key not in self.sd:
+            self.missing.append(key)
+            return None
+        return self.sd.pop(key)
+
+    def conv(self, tkey: str, *path: str, bias: bool = True):
+        w = self.take(f"{tkey}.weight")
+        if w is not None:
+            self._set(self.params, path + ("kernel",), np.transpose(w, (2, 1, 0)))
+        if bias:
+            b = self.take(f"{tkey}.bias")
+            if b is not None:
+                self._set(self.params, path + ("bias",), b)
+
+    def dense(self, tkey: str, *path: str, bias: bool = True,
+              zero_bias_dim: Optional[int] = None):
+        w = self.take(f"{tkey}.weight")
+        if w is not None:
+            self._set(self.params, path + ("kernel",), w.T)
+            if zero_bias_dim is not None:
+                self._set(self.params, path + ("bias",),
+                          np.zeros(w.shape[0], dtype=np.float32))
+        if bias:
+            b = self.take(f"{tkey}.bias")
+            if b is not None:
+                self._set(self.params, path + ("bias",), b)
+
+    def bn(self, tkey: str, *path: str):
+        w, b = self.take(f"{tkey}.weight"), self.take(f"{tkey}.bias")
+        m, v = self.take(f"{tkey}.running_mean"), self.take(f"{tkey}.running_var")
+        self.sd.pop(f"{tkey}.num_batches_tracked", None)
+        if w is not None:
+            self._set(self.params, path + ("scale",), w)
+        if b is not None:
+            self._set(self.params, path + ("bias",), b)
+        if m is not None:
+            self._set(self.stats, path + ("mean",), m)
+        if v is not None:
+            self._set(self.stats, path + ("var",), v)
+
+    def raw(self, tkey: str, *path: str, reshape=None):
+        a = self.take(tkey)
+        if a is not None:
+            if reshape is not None:
+                a = a.reshape(reshape)
+            self._set(self.params, path, a)
+
+    def se(self, tkey: str, *path: str):
+        """Reference SEBlock: fc.0 / fc.2, bias-free (maze4.py:149-163)."""
+        self.dense(f"{tkey}.fc.0", *path, "fc1", bias=False, zero_bias_dim=-1)
+        self.dense(f"{tkey}.fc.2", *path, "fc2", bias=False, zero_bias_dim=-1)
+
+    def res_block(self, tkey: str, *path: str, first: bool = False):
+        """Reference Residual_Block_SE (maze4.py:105-147) -> adfmsl ResBlockSE."""
+        if not first:
+            self.bn(f"{tkey}.bn1", *path, "bn1")
+        self.conv(f"{tkey}.conv1", *path, "conv1")
+        self.bn(f"{tkey}.bn2", *path, "bn2")
+        self.conv(f"{tkey}.conv2", *path, "conv2")
+        if any(k.startswith(f"{tkey}.conv_downsample.") for k in self.sd):
+            self.conv(f"{tkey}.conv_downsample", *path, "downsample")
+
+    def fmsl(self, tkey: str, *path: str):
+        """Reference AdvancedFMSLSystem (fmsl_advanced.py:103-150) -> FMSLHead."""
+        self.dense(f"{tkey}.projection.0", *path, "proj")
+        self.bn(f"{tkey}.projection.1", *path, "proj_bn")
+        self.raw(f"{tkey}.prototypes", *path, "prototypes")
+        self.raw(f"{tkey}.weight", *path, "weight")
+        self.raw(f"{tkey}.temperature", *path, "temperature", reshape=())
+
+
+def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str
+                         ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    """torch state dict -> (params, batch_stats, report) for MazeModel.
+
+    ``report`` carries 'missing' (expected-but-absent torch keys) and 'unconsumed'
+    (torch keys with no adfmsl destination) — the analog of the reference's
+    strict=False missing/unexpected key listing (comprehensive_evaluation.py:411-435).
+    """
+    m = _Mapper(sd)
+    is_fmsl = model_name.endswith("_fmsl")
+    base = model_name[:-5] if is_fmsl else model_name
+
+    if base in ("maze4", "maze5"):
+        m.raw("sinc_conv.low_hz_", "sinc", "low_hz", reshape=(-1,))
+        m.raw("sinc_conv.band_hz_", "sinc", "band_hz", reshape=(-1,))
+        # derived constants some exports register as buffers (time axis, window)
+        m.sd.pop("sinc_conv.n_", None)
+        m.sd.pop("sinc_conv.window_", None)
+        m.bn("first_bn", "first_bn")
+        # block0 + 4 strided blocks; SE applied post-block in the reference
+        m.res_block("block0", "trunk", "block0", first=True)
+        m.se("se0", "trunk", "block0", "se")
+        for i in range(4):
+            m.res_block(f"res_blocks.{i}", "trunk", f"block{i + 1}")
+            m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
+        if model_name == "maze4_fmsl":
+            # Mode C (maze4_fmsl_standardized.py:216-347): pooled feeds the FMSL
+            # system directly — adfmsl's fmsl_projection becomes identity.
+            m.fmsl("fmsl_system", "fmsl")
+            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+            m.params["fmsl_projection"] = {
+                "kernel": np.eye(d, dtype=np.float32),
+                "bias": np.zeros(d, dtype=np.float32),
+            }
+        else:
+            m.dense("fc1", "fc1")
+            m.dense("fc2", "fc2")
+            if is_fmsl:   # maze5_fmsl Mode A: fc1 -> FMSL refiner -> fc2
+                m.fmsl("fmsl_system", "fmsl")
+    else:
+        raise ValueError(
+            f"no torch->flax mapping for {model_name!r} (supported: maze4, maze5, "
+            f"maze4_fmsl, maze5_fmsl; Wav2Vec2 backbones port via "
+            f"models/pretrained.py)")
+
+    report = {"missing": list(m.missing), "unconsumed": sorted(m.sd.keys())}
+    return m.params, m.stats, report
+
+
+def reference_parity_experiment(model_name: str, drift: bool = True):
+    """An ExperimentConfig whose forward semantics match the reference torch model
+    bit-comparably (for evaluating ported checkpoints)."""
+    from adfmsl.config import make_experiment
+
+    exp = make_experiment(model_name, drift=drift)
+    exp.model.architecture.sinc_formula = "reference"
+    exp.model.architecture.block_semantics = "reference"
+    exp.model.dtype = "float32"   # torch reference runs f32 end to end
+    return exp
+
+
+def merge_params(template: Dict[str, Any], ported: Dict[str, Any],
+                 path: str = "") -> Dict[str, Any]:
+    """Overlay ported leaves onto a freshly-initialised param tree, checking shapes.
+    Leaves absent from ``ported`` keep their init values (strict=False analog)."""
+    out = {}
+    for k, tv in template.items():
+        pv = ported.get(k) if isinstance(ported, dict) else None
+        where = f"{path}/{k}"
+        if isinstance(tv, dict):
+            out[k] = merge_params(tv, pv or {}, where)
+        elif pv is None:
+            out[k] = tv
+        else:
+            tshape = tuple(getattr(tv, "shape", ()))
+            if tuple(pv.shape) != tshape:
+                raise ValueError(
+                    f"shape mismatch at {where}: checkpoint {pv.shape} vs model "
+                    f"{tshape}")
+            out[k] = np.asarray(pv, dtype=np.float32)
+    return out

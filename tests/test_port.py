@@ -1,0 +1,212 @@
+"""Checkpoint-porting parity tests: an independent torch implementation of the
+reference maze4/maze5 topology (state-dict key layout per maze4.py:165-247 /
+maze5_fmsl_standardized.py:214-332) is random-initialised, ported via
+adfmsl.models.port, and the Flax forward must match the torch forward within f32
+tolerance — the same methodology as test_w2v2.py."""
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from adfmsl.models import build_model
+from adfmsl.models.port import (merge_params, port_maze_state_dict,
+                                reference_parity_experiment)
+
+CUT = 4000
+SR = 16000
+
+
+# ---- independent torch reference topology (test-only) ---------------------------
+
+class TSinc(tnn.Module):
+    """Trainable sinc filterbank with the reference's formula/params
+    (maze4.py:38-103 contract: low_hz_/band_hz_ (C,1), hann periodic=False,
+    h = 2f*sinc(2f*pi*n), VALID conv)."""
+
+    def __init__(self, c=128, k=251, sr=SR):
+        super().__init__()
+        self.k, self.sr = k, sr
+        low = 30.0
+        high = sr / 2 - 100.0
+        mel = np.linspace(2595 * np.log10(1 + low / 700),
+                          2595 * np.log10(1 + high / 700), c + 1)
+        hz = 700 * (10 ** (mel / 2595) - 1)
+        self.low_hz_ = tnn.Parameter(torch.tensor(hz[:-1], dtype=torch.float32).view(-1, 1))
+        self.band_hz_ = tnn.Parameter(torch.tensor(np.diff(hz), dtype=torch.float32).view(-1, 1))
+        n = (k - 1) / 2.0
+        self.register_buffer("n_", torch.arange(-n, n + 1).view(1, -1) / sr)
+        self.register_buffer("window_", torch.hann_window(k, periodic=False))
+
+    def forward(self, x):                              # (B, 1, T)
+        low = 50.0 + torch.abs(self.low_hz_)
+        high = torch.clamp(low + 50.0 + torch.abs(self.band_hz_), 50.0, self.sr / 2)
+        f_lo, f_hi = low / self.sr, high / self.sr
+        h = (2 * f_hi * torch.sinc(2 * f_hi * math.pi * self.n_)
+             - 2 * f_lo * torch.sinc(2 * f_lo * math.pi * self.n_))
+        filt = (self.window_ * h).view(-1, 1, self.k)
+        return tF.conv1d(x, filt)
+
+
+class TSE(tnn.Module):
+    def __init__(self, c, r=16):
+        super().__init__()
+        self.fc = tnn.Sequential(tnn.Linear(c, c // r, bias=False), tnn.ReLU(),
+                                 tnn.Linear(c // r, c, bias=False), tnn.Sigmoid())
+
+    def forward(self, x):                              # (B, C, T)
+        y = self.fc(x.mean(dim=2))
+        return x * y.unsqueeze(-1)
+
+
+class TRes(tnn.Module):
+    """Reference Residual_Block_SE semantics (maze4.py:105-147)."""
+
+    def __init__(self, cin, cout, first=False, stride=1, p=0.3):
+        super().__init__()
+        self.first, self.stride = first, stride
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, padding=1)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.dropout = tnn.Dropout(p)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1)
+        if cin != cout or stride != 1:
+            self.conv_downsample = tnn.Conv1d(cin, cout, 1)
+        self.pool = (tnn.AvgPool1d(2 * stride - 1, stride, stride - 1)
+                     if stride > 1 else None)
+
+    def forward(self, x):
+        h = x if self.first else tF.relu(self.bn1(x))
+        h = self.conv1(h)
+        h = self.conv2(self.dropout(tF.relu(self.bn2(h))))
+        skip = self.conv_downsample(x) if hasattr(self, "conv_downsample") else x
+        out = h + skip
+        return self.pool(out) if self.pool is not None else out
+
+
+class TFMSL(tnn.Module):
+    """Reference AdvancedFMSLSystem param layout (fmsl_advanced.py:103-150);
+    eval forward = project -> l2 normalize."""
+
+    def __init__(self, d, n_proto=3):
+        super().__init__()
+        self.projection = tnn.Sequential(tnn.Linear(d, d), tnn.BatchNorm1d(d),
+                                         tnn.ReLU(), tnn.Dropout(0.1))
+        self.prototypes = tnn.Parameter(torch.randn(n_proto, d))
+        self.weight = tnn.Parameter(torch.randn(2, d))
+        self.temperature = tnn.Parameter(torch.tensor(1.0))
+
+    def forward(self, x):
+        return tF.normalize(self.projection(x), p=2, dim=-1)
+
+
+class TMaze5(tnn.Module):
+    """Model5_RawNetSinc_SpecAugment_FocalLoss layer plan (maze5.py:178-264)."""
+
+    def __init__(self, fmsl=False):
+        super().__init__()
+        self.sinc_conv = TSinc()
+        self.first_bn = tnn.BatchNorm1d(128)
+        self.block0 = TRes(128, 128, first=True)
+        self.se0 = TSE(128)
+        plan = [(128, 128), (128, 128), (128, 128), (128, 256)]
+        self.res_blocks = tnn.ModuleList(TRes(a, b, stride=2) for a, b in plan)
+        self.se_blocks = tnn.ModuleList(TSE(b) for _, b in plan)
+        self.fc1 = tnn.Linear(256, 1024)
+        self.dropout_fc = tnn.Dropout(0.5)
+        self.fc2 = tnn.Linear(1024 if fmsl else 1024, 2)
+        self.fmsl_system = TFMSL(1024) if fmsl else None
+
+    def forward(self, x):                              # (B, T)
+        h = self.sinc_conv(x.unsqueeze(1))
+        h = tF.selu(self.first_bn(h))
+        h = self.se0(self.block0(h))
+        for blk, se in zip(self.res_blocks, self.se_blocks):
+            h = se(blk(h))
+        h = h.mean(dim=2)
+        h = self.dropout_fc(self.fc1(h))
+        if self.fmsl_system is not None:
+            h = self.fmsl_system(h)
+        return tF.log_softmax(self.fc2(h), dim=-1)
+
+
+def _randomize_bn_stats(model, rng):
+    """Make running stats non-trivial so BN parity is actually exercised."""
+    for mod in model.modules():
+        if isinstance(mod, tnn.BatchNorm1d):
+            c = mod.running_mean.shape[0]
+            mod.running_mean.copy_(torch.tensor(
+                rng.standard_normal(c).astype(np.float32) * 0.5))
+            mod.running_var.copy_(torch.tensor(
+                (rng.random(c).astype(np.float32) * 2.0 + 0.5)))
+
+
+def _port_and_apply(tmodel, name, x_np):
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats, report = port_maze_state_dict(sd, name)
+    assert report["missing"] == []
+    assert report["unconsumed"] == []
+
+    exp = reference_parity_experiment(name)
+    exp.data.cut = CUT
+    model = build_model(exp.model)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    merged = merge_params(variables["params"], params)
+    merged_stats = merge_params(variables["batch_stats"], stats)
+    return model.apply({"params": merged, "batch_stats": merged_stats},
+                       jnp.asarray(x_np), train=False)
+
+
+@pytest.mark.parametrize("name", ["maze5", "maze5_fmsl"])
+def test_ported_maze_forward_parity(name):
+    rng = np.random.default_rng(0)
+    tmodel = TMaze5(fmsl=name.endswith("_fmsl")).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((3, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    out = _port_and_apply(tmodel, name, x)
+    got = np.asarray(jax.nn.log_softmax(out["logits"], axis=-1))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+    # score semantics: log-softmax[:, 1]
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref[:, 1],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_ported_maze4_matches_maze5_topology():
+    """maze4 shares maze5's layer plan (maze4.py:165-247 vs maze5.py:178-264 —
+    only the loss differs); the porter must accept it identically."""
+    rng = np.random.default_rng(1)
+    tmodel = TMaze5().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = _port_and_apply(tmodel, "maze4", x)
+    np.testing.assert_allclose(np.asarray(jax.nn.log_softmax(out["logits"], -1)),
+                               ref, atol=2e-4, rtol=1e-3)
+
+
+def test_rich_dict_checkpoint_unwrap(tmp_path):
+    """The reference's resume checkpoints wrap the state dict
+    (maze3.py:850-880); load_torch_state_dict must unwrap them."""
+    from adfmsl.models.port import load_torch_state_dict
+
+    tmodel = TMaze5().eval()
+    p = str(tmp_path / "rich.pth")
+    torch.save({"epoch": 3, "model_state_dict": tmodel.state_dict(),
+                "loss": 0.5}, p)
+    sd = load_torch_state_dict(p)
+    assert "sinc_conv.low_hz_" in sd
+    assert sd["fc1.weight"].shape == (1024, 256)
