@@ -1,7 +1,9 @@
 from adfmsl.analysis.compare import ComparisonResult, compare_models, detect_architecture
 from adfmsl.analysis.figures import (
     plot_det,
+    plot_fmsl_trend,
     plot_model_comparison,
+    plot_performance_landscape,
     plot_roc,
     plot_score_distributions,
 )
@@ -13,6 +15,7 @@ from adfmsl.analysis.processor import (
 from adfmsl.analysis.summary import check_compatibility, count_params, model_summary
 from adfmsl.analysis.report import (
     REFERENCE_RESULTS,
+    check_against_reference,
     comparison_markdown,
     results_csv,
     results_latex,
@@ -21,7 +24,9 @@ from adfmsl.analysis.report import (
 __all__ = [
     "check_compatibility", "count_params", "model_summary",
     "ComparisonResult", "compare_models", "detect_architecture",
-    "plot_det", "plot_model_comparison", "plot_roc", "plot_score_distributions",
+    "plot_det", "plot_fmsl_trend", "plot_model_comparison",
+    "plot_performance_landscape", "plot_roc", "plot_score_distributions",
     "ProcessedScores", "ScoreFileProcessor", "model_name_from_filename",
-    "REFERENCE_RESULTS", "comparison_markdown", "results_csv", "results_latex",
+    "REFERENCE_RESULTS", "check_against_reference", "comparison_markdown",
+    "results_csv", "results_latex",
 ]

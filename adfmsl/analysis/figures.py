@@ -111,3 +111,75 @@ def plot_model_comparison(per_model: Dict[str, Dict[str, float]], out_path: str,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def _paired_eer_bars(ax, per_model: Dict[str, Dict[str, float]],
+                     metric: str = "eer"):
+    """Paired baseline/FMSL bars with midpoint improvement annotations (the shared
+    body of the reference's trend/histogram panels,
+    comprehensive_thesis_analyser.py:406,461 — here driven by REAL metrics, never
+    its np.random-synthesised series)."""
+    bases = sorted(m for m in per_model
+                   if not m.endswith("_fmsl") and f"{m}_fmsl" in per_model)
+    xs = np.arange(len(bases))
+    base_v = np.asarray([per_model[b][metric] for b in bases], dtype=float)
+    fmsl_v = np.asarray([per_model[f"{b}_fmsl"][metric] for b in bases], dtype=float)
+    b1 = ax.bar(xs - 0.2, base_v, width=0.4, label="Baseline", alpha=0.85)
+    b2 = ax.bar(xs + 0.2, fmsl_v, width=0.4, label="FMSL Enhanced", alpha=0.85)
+    for i, (bv, fv) in enumerate(zip(base_v, fmsl_v)):
+        if bv > 0:
+            ax.text(i, (bv + fv) / 2, f"{(bv - fv) / bv * 100:.1f}%",
+                    ha="center", va="center", fontweight="bold",
+                    bbox=dict(boxstyle="round,pad=0.2", facecolor="white",
+                              alpha=0.85))
+    for bars, vals in [(b1, base_v), (b2, fmsl_v)]:
+        for bar, v in zip(bars, vals):
+            ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
+                    f"{v:.3f}", ha="center", va="bottom", fontsize=8)
+    ax.set_xticks(xs)
+    ax.set_xticklabels([b.upper() for b in bases], rotation=30)
+    ax.set_ylabel(metric.upper())
+    ax.grid(True, alpha=0.3, axis="y")
+    ax.set_axisbelow(True)
+    ax.legend(loc="upper right")
+    return bases, base_v, fmsl_v, (b1, b2)
+
+
+def plot_fmsl_trend(per_model: Dict[str, Dict[str, float]], out_path: str,
+                    metric: str = "eer") -> str:
+    """Trend panel (create_trend_visualizations, comprehensive_thesis_analyser.py:406)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(max(8, 1.6 * len(per_model) // 2), 6))
+    _paired_eer_bars(ax, per_model, metric)
+    ax.set_xlabel("Model architecture")
+    ax.set_title("Performance trends: FMSL enhancement")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_performance_landscape(per_model: Dict[str, Dict[str, float]],
+                               out_path: str, metric: str = "eer") -> str:
+    """Landscape histogram with best-performer highlights
+    (create_comprehensive_histogram, comprehensive_thesis_analyser.py:461)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(max(9, 1.8 * len(per_model) // 2), 6))
+    bases, base_v, fmsl_v, (b1, b2) = _paired_eer_bars(ax, per_model, metric)
+    if len(bases):
+        ib = int(np.argmin(base_v))
+        jf = int(np.argmin(fmsl_v))
+        b1[ib].set_edgecolor("navy")
+        b1[ib].set_linewidth(2.5)
+        b2[jf].set_edgecolor("goldenrod")
+        b2[jf].set_linewidth(2.5)
+        ax.text(ib, base_v[ib], "★ best baseline", ha="center",
+                va="bottom", color="navy", fontweight="bold", fontsize=9)
+        ax.text(jf, fmsl_v[jf], "★ best overall", ha="center",
+                va="bottom", color="goldenrod", fontweight="bold", fontsize=9)
+    ax.set_xlabel("Model architecture")
+    ax.set_title("Complete performance landscape")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -82,3 +82,21 @@ def comparison_markdown(per_model: Dict[str, Dict],
             rel = (a - b) / a * 100 if a else 0.0
             lines.append(f"- {base}: {a:.4f} -> {b:.4f} ({rel:+.1f}%)")
     return "\n".join(lines)
+
+
+def check_against_reference(per_model: Dict[str, Dict], tol_eer: float = 0.001,
+                            reference: Optional[Dict[str, Dict]] = None
+                            ) -> Dict[str, Dict]:
+    """Regression gate vs the published thesis numbers (SURVEY.md section 7 step 7;
+    driver target: EER within 0.1% absolute). Returns per-model
+    {eer, ref_eer, delta, within}; models without a published number are skipped."""
+    reference = reference if reference is not None else REFERENCE_RESULTS
+    out: Dict[str, Dict] = {}
+    for name, m in per_model.items():
+        ref = reference.get(name)
+        if not ref or "eer" not in m:
+            continue
+        delta = float(m["eer"]) - float(ref["eer"])
+        out[name] = {"eer": float(m["eer"]), "ref_eer": float(ref["eer"]),
+                     "delta": delta, "within": abs(delta) <= tol_eer}
+    return out

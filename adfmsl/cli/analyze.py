@@ -15,6 +15,12 @@ def build_parser():
     p.add_argument("--protocol", required=True)
     p.add_argument("--output_dir", default="analysis_out")
     p.add_argument("--polarity", default="bonafide1", choices=["bonafide1", "spoof1"])
+    p.add_argument("--figures", action="store_true",
+                   help="render the full figure panel set (ROC/DET/score dists/"
+                        "comparison/trend/landscape) from the real scores")
+    p.add_argument("--regression", type=float, default=None, metavar="TOL",
+                   help="fail (rc 2) unless every model with a published thesis "
+                        "EER is within TOL absolute (driver target: 0.001)")
     return p
 
 
@@ -43,7 +49,57 @@ def main(argv=None) -> int:
         fh.write(comparison_markdown(processed.per_model))
     print(processed.summary())
     print(f"\nwrote JSON/CSV/LaTeX/markdown to {args.output_dir}/")
+
+    if args.figures:
+        _render_figures(args, processed)
+
+    if args.regression is not None:
+        from adfmsl.analysis import check_against_reference
+
+        checked = check_against_reference(processed.per_model,
+                                          tol_eer=args.regression)
+        bad = 0
+        for name in sorted(checked):
+            r = checked[name]
+            status = "PASS" if r["within"] else "FAIL"
+            bad += not r["within"]
+            print(f"regression {status}: {name} EER {r['eer']:.4f} vs "
+                  f"ref {r['ref_eer']:.4f} (delta {r['delta']:+.4f})")
+        if not checked:
+            print("regression: no models with published reference numbers")
+        if bad:
+            return 2
     return 0
+
+
+def _render_figures(args, processed) -> None:
+    from adfmsl.analysis import (plot_det, plot_fmsl_trend, plot_model_comparison,
+                                 plot_performance_landscape, plot_roc,
+                                 plot_score_distributions)
+    from adfmsl.data import parse_protocol
+    from adfmsl.evaluation.scores import join_scores_with_labels, read_score_file
+
+    labels = parse_protocol(args.protocol, args.polarity).labels
+    sb, lb = {}, {}
+    for name, m in processed.per_model.items():
+        if "score_file" not in m:
+            continue
+        s, y, _ = join_scores_with_labels(read_score_file(m["score_file"]), labels)
+        sb[name], lb[name] = s, y
+        plot_score_distributions(
+            s, y, os.path.join(args.output_dir, f"{name}_score_dist.png"), name)
+    if sb:
+        plot_roc(sb, lb, os.path.join(args.output_dir, "roc.png"))
+        plot_det(sb, lb, os.path.join(args.output_dir, "det.png"))
+    plot_model_comparison(processed.per_model,
+                          os.path.join(args.output_dir, "model_comparison.png"))
+    if any(n.endswith("_fmsl") for n in processed.per_model):
+        plot_fmsl_trend(processed.per_model,
+                        os.path.join(args.output_dir, "trend_visualizations.png"))
+        plot_performance_landscape(
+            processed.per_model,
+            os.path.join(args.output_dir, "comprehensive_histogram.png"))
+    print(f"wrote figure panels to {args.output_dir}/")
 
 
 if __name__ == "__main__":

@@ -72,8 +72,8 @@ def produce_scores(state: TrainState, loader: DataLoader,
             audio, label, bmask = shard_batch(mesh, (audio, label, bmask))
             with mesh:
                 out = eval_step(state, audio, label, bmask)
-            out = {k: np.asarray(v)[: len(batch.mask)] if np.ndim(v) else v
-                   for k, v in out.items()}
+            # scores stay on device (drain loop below); device-padding rows are
+            # dropped there by zip against the unpadded utt_ids/mask
         else:
             try:
                 out = eval_step(state, jnp.asarray(audio),

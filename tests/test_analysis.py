@@ -115,3 +115,54 @@ def test_model_summary_and_param_count():
     broken.pop("fc2")
     diff2 = check_compatibility(v["params"], broken)
     assert any("fc2" in k for k in diff2["missing"])
+
+
+def test_trend_and_landscape_panels(tmp_path):
+    """Reference analyzer panels (comprehensive_thesis_analyser.py:406,461) from
+    real metrics — baseline/FMSL pairs with improvement annotations."""
+    from adfmsl.analysis import plot_fmsl_trend, plot_performance_landscape
+
+    per_model = {k: {"eer": v["eer"]} for k, v in REFERENCE_RESULTS.items()}
+    out = plot_fmsl_trend(per_model, str(tmp_path / "trend.png"))
+    assert os.path.getsize(out) > 1000
+    out = plot_performance_landscape(per_model, str(tmp_path / "landscape.png"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_check_against_reference():
+    from adfmsl.analysis import check_against_reference
+
+    per_model = {
+        "maze5": {"eer": REFERENCE_RESULTS["maze5"]["eer"] + 0.0005},
+        "maze6": {"eer": REFERENCE_RESULTS["maze6"]["eer"] + 0.05},
+        "not_published": {"eer": 0.1},
+    }
+    out = check_against_reference(per_model, tol_eer=0.001)
+    assert out["maze5"]["within"] and not out["maze6"]["within"]
+    assert "not_published" not in out
+    assert out["maze6"]["delta"] == pytest.approx(0.05, abs=1e-9)
+
+
+def test_cli_analyze_figures_and_regression(tmp_path):
+    """adfmsl-analyze --figures --regression over synthetic score files."""
+    from adfmsl.cli.analyze import main
+
+    proto = tmp_path / "proto.txt"
+    with open(proto, "w") as fh:
+        for i in range(N):
+            lab = "bonafide" if i % 2 else "spoof"
+            fh.write(f"SPK u{i} - A01 {lab}\n")
+    sdir = tmp_path / "scores"
+    sdir.mkdir()
+    for name, sc in [("maze5", GOOD), ("maze5_fmsl", GOOD)]:
+        with open(sdir / f"{name}_scores.txt", "w") as fh:
+            for u, v in sc.items():
+                fh.write(f"{u} {v}\n")
+    out = tmp_path / "out"
+    rc = main(["--scores_dir", str(sdir), "--protocol", str(proto),
+               "--output_dir", str(out), "--figures", "--regression", "0.001"])
+    assert rc == 2   # synthetic scores are nowhere near the published EERs
+    for f in ["roc.png", "det.png", "model_comparison.png",
+              "trend_visualizations.png", "comprehensive_histogram.png",
+              "maze5_score_dist.png"]:
+        assert (out / f).exists(), f
