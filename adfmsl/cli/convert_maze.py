@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     exp = reference_parity_experiment(args.model_type, drift=not args.no_drift)
     sd = load_torch_state_dict(args.torch_ckpt)
     ported_params, ported_stats, report = port_maze_state_dict(sd, args.model_type)
+    if report.get("gru_layers"):
+        exp.model.architecture.nb_gru_layer = report["gru_layers"]
     if report["missing"]:
         logging.warning("missing torch keys (kept init values): %s",
                         report["missing"])

@@ -25,6 +25,7 @@ class ArchitectureConfig:
     nb_classes: int = 2
     sample_rate: int = 16000
     first_conv: int = 251          # sinc kernel size (odd)
+    nb_gru_layer: int = 1          # RawNet GRU depth (reference yaml stacks 3)
     dropout_rate: float = 0.3
     fc_dropout: float = 0.5
     # 'textbook' = real windowed-sinc band-pass (default: the reference's formula is

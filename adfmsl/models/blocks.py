@@ -205,13 +205,19 @@ class ConvFMSLLayer(nn.Module):
 
 
 class GRU(nn.Module):
-    """Unidirectional GRU over (B, T, C) via lax.scan (RawNet2 trunk; the reference
-    relies on cuDNN nn.GRU — main_fmsl_standardized.py:101-157)."""
+    """Unidirectional (optionally stacked) GRU over (B, T, C) via lax.scan
+    (RawNet2 trunk; the reference relies on cuDNN nn.GRU —
+    main_fmsl_standardized.py:150-153; the original RawNet2 yaml stacks
+    nb_gru_layer=3, model_config_RawNet.yaml)."""
 
     hidden: int
+    layers: int = 1
 
     @nn.compact
     def __call__(self, x):
-        cell = nn.GRUCell(features=self.hidden, name="cell")
-        rnn = nn.RNN(cell, name="rnn")
-        return rnn(x)                                    # (B, T, H)
+        h = x
+        for k in range(self.layers):
+            cell = nn.GRUCell(features=self.hidden,
+                              name="cell" if k == 0 else f"cell{k}")
+            h = nn.RNN(cell, name="rnn" if k == 0 else f"rnn{k}")(h)
+        return h                                         # (B, T, H)

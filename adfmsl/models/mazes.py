@@ -88,6 +88,7 @@ class MazeModel(nn.Module):
             feats = RawNetEncoder(sinc_channels=cfg.architecture.filts[0],
                                   sinc_kernel=cfg.architecture.first_conv,
                                   feature_dim=cfg.architecture.nb_fc_node,
+                                  gru_layers=cfg.architecture.nb_gru_layer,
                                   sinc_formula=cfg.architecture.sinc_formula,
                                   fused_eval_frontend=cfg.extra.get(
                                       "fused_eval_frontend", False),

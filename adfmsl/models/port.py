@@ -11,9 +11,11 @@ so the forward pass reproduces the torch semantics.
 
 Covered families:
 - sinc trunk (maze4 / maze5, Model4/5_RawNetSinc_SpecAugment*, maze4.py:165-247)
-- maze5_fmsl (Mode A refiner, maze5_fmsl_standardized.py:214-332)
-- w2v2-trunk models (maze3 / maze7 / maze8-like SE-residual stacks) share the trunk
-  and head mappings; the Wav2Vec2 backbone itself ports via models/pretrained.py.
+- maze4_fmsl (Mode C) / maze5_fmsl (Mode A refiner, maze5_fmsl_standardized.py:214-332)
+- RawNet2 main / main_fmsl (layer re-drive main_fmsl_standardized.py:101-157,
+  incl. stacked torch nn.GRU -> flax GRUCell gate unpacking)
+- Wav2Vec2 backbones port via models/pretrained.py (w2v2-trunk maze models reuse
+  the trunk/head mappings).
 
 Layout conventions: torch Conv1d (out, in, k) -> flax (k, in, out); torch Linear
 (out, in) -> flax kernel (in, out); torch BatchNorm1d weight/bias/running_mean/
@@ -126,6 +128,42 @@ class _Mapper:
         if any(k.startswith(f"{tkey}.conv_downsample.") for k in self.sd):
             self.conv(f"{tkey}.conv_downsample", *path, "downsample")
 
+    def gru(self, tkey: str, *path: str):
+        """torch stacked nn.GRU -> flax GRUCell stack (blocks.GRU naming).
+
+        torch packs gates as rows [r; z; n] in weight_ih_l{k} (3H, in) /
+        weight_hh_l{k} (3H, H) with two bias vectors. Flax GRUCell keeps one
+        bias per input gate (b_ir+b_hr and b_iz+b_hz merge exactly because
+        r = sigma(W_ir x + b_ir + W_hr h + b_hr)) and a separate hn bias
+        (n = tanh(W_in x + b_in + r*(W_hn h + b_hn)) in both frameworks)."""
+        k = 0
+        while f"{tkey}.weight_ih_l{k}" in self.sd:
+            wih = self.take(f"{tkey}.weight_ih_l{k}")
+            whh = self.take(f"{tkey}.weight_hh_l{k}")
+            bih = self.take(f"{tkey}.bias_ih_l{k}")
+            bhh = self.take(f"{tkey}.bias_hh_l{k}")
+            h = whh.shape[1]
+            cell = "cell" if k == 0 else f"cell{k}"
+
+            def g(a, i):   # gate slice i in torch order r, z, n
+                return a[i * h:(i + 1) * h]
+
+            for i, gate in enumerate(("r", "z", "n")):
+                self._set(self.params, path + (cell, f"i{gate}", "kernel"),
+                          g(wih, i).T)
+                self._set(self.params, path + (cell, f"h{gate}", "kernel"),
+                          g(whh, i).T)
+            self._set(self.params, path + (cell, "ir", "bias"),
+                      g(bih, 0) + g(bhh, 0))
+            self._set(self.params, path + (cell, "iz", "bias"),
+                      g(bih, 1) + g(bhh, 1))
+            self._set(self.params, path + (cell, "in", "bias"), g(bih, 2))
+            self._set(self.params, path + (cell, "hn", "bias"), g(bhh, 2))
+            k += 1
+        if k == 0:
+            self.missing.append(f"{tkey}.weight_ih_l0")
+        return k
+
     def fmsl(self, tkey: str, *path: str):
         """Reference AdvancedFMSLSystem (fmsl_advanced.py:103-150) -> FMSLHead."""
         self.dense(f"{tkey}.projection.0", *path, "proj")
@@ -147,7 +185,53 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str
     is_fmsl = model_name.endswith("_fmsl")
     base = model_name[:-5] if is_fmsl else model_name
 
-    if base in ("maze4", "maze5"):
+    if base == "main":
+        # RawNet2 backbone re-driven layer by layer in the reference
+        # (main_fmsl_standardized.py:101-157); main_fmsl prefixes 'backbone.'
+        pre = "backbone." if any(k.startswith("backbone.") for k in m.sd) else ""
+        m.raw(f"{pre}Sinc_conv.low_hz_", "encoder", "sinc", "low_hz", reshape=(-1,))
+        m.raw(f"{pre}Sinc_conv.band_hz_", "encoder", "sinc", "band_hz", reshape=(-1,))
+        m.sd.pop(f"{pre}Sinc_conv.n_", None)
+        m.sd.pop(f"{pre}Sinc_conv.window_", None)
+        m.bn(f"{pre}first_bn", "encoder", "first_bn")
+        for i in range(6):
+            blk = f"{pre}block{i}"
+            if any(k.startswith(f"{blk}.bn1.") for k in m.sd):
+                m.bn(f"{blk}.bn1", "encoder", f"block{i}", "bn1")
+            m.conv(f"{blk}.conv1", "encoder", f"block{i}", "conv1")
+            m.bn(f"{blk}.bn2", "encoder", f"block{i}", "bn2")
+            m.conv(f"{blk}.conv2", "encoder", f"block{i}", "conv2")
+            if any(k.startswith(f"{blk}.conv_downsample.") for k in m.sd):
+                m.conv(f"{blk}.conv_downsample", "encoder", f"block{i}", "downsample")
+            m.dense(f"{pre}fc_attention{i}", "encoder", f"fc_attention{i}")
+        m.bn(f"{pre}bn_before_gru", "encoder", "bn_before_gru")
+        n_gru = m.gru(f"{pre}gru", "encoder", "gru")
+        m.dense(f"{pre}fc1_gru", "encoder", "fc1_gru")
+        if is_fmsl:
+            # Mode B (main_fmsl_standardized.py:160-174): fc1_gru output feeds
+            # the FMSL system directly — fmsl_projection becomes identity.
+            m.fmsl("fmsl_system", "fmsl")
+            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+            m.params["fmsl_projection"] = {
+                "kernel": np.eye(d, dtype=np.float32),
+                "bias": np.zeros(d, dtype=np.float32),
+            }
+        else:
+            # original RawNet head is fc1_gru -> fc2_gru; adfmsl 'main' inserts
+            # a Dense fc1 between them — identity-fill it (dropout is eval no-op)
+            w2 = None
+            for k in ("fc2_gru", "fc2"):
+                if f"{k}.weight" in m.sd:
+                    w2 = k
+                    break
+            if w2:
+                m.dense(w2, "fc2")
+                d = int(m.params["fc2"]["kernel"].shape[0])
+                m.params["fc1"] = {
+                    "kernel": np.eye(d, dtype=np.float32),
+                    "bias": np.zeros(d, dtype=np.float32),
+                }
+    elif base in ("maze4", "maze5"):
         m.raw("sinc_conv.low_hz_", "sinc", "low_hz", reshape=(-1,))
         m.raw("sinc_conv.band_hz_", "sinc", "band_hz", reshape=(-1,))
         # derived constants some exports register as buffers (time axis, window)
@@ -176,11 +260,13 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str
                 m.fmsl("fmsl_system", "fmsl")
     else:
         raise ValueError(
-            f"no torch->flax mapping for {model_name!r} (supported: maze4, maze5, "
-            f"maze4_fmsl, maze5_fmsl; Wav2Vec2 backbones port via "
-            f"models/pretrained.py)")
+            f"no torch->flax mapping for {model_name!r} (supported: main, "
+            f"main_fmsl, maze4, maze5, maze4_fmsl, maze5_fmsl; Wav2Vec2 "
+            f"backbones port via models/pretrained.py)")
 
     report = {"missing": list(m.missing), "unconsumed": sorted(m.sd.keys())}
+    if base == "main":
+        report["gru_layers"] = n_gru   # build the model with nb_gru_layer=this
     return m.params, m.stats, report
 
 

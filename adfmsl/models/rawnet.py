@@ -55,6 +55,7 @@ class RawNetEncoder(nn.Module):
     sinc_kernel: int = 251
     block_channels: Sequence[int] = (128, 128, 256, 256, 256, 256)
     gru_hidden: int = 1024
+    gru_layers: int = 1
     feature_dim: int = 1024
     sample_rate: int = 16000
     sinc_formula: str = "textbook"
@@ -87,6 +88,6 @@ class RawNetEncoder(nn.Module):
 
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_before_gru")(h)
         h = nn.selu(h)
-        h = GRU(self.gru_hidden, name="gru")(h)           # (B, T, H)
+        h = GRU(self.gru_hidden, layers=self.gru_layers, name="gru")(h)  # (B, T, H)
         h = h[:, -1, :]
         return nn.Dense(self.feature_dim, name="fc1_gru")(h)

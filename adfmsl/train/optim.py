@@ -86,15 +86,22 @@ def _base_optimizer(cfg: OptimizerConfig, schedule) -> optax.GradientTransformat
     raise ValueError(f"unknown optimizer {cfg.name!r}")
 
 
-def _param_label_fn(exp: ExperimentConfig) -> Callable:
-    """Label params: 'frozen' (zeroed), 'backbone' (scaled LR), 'main'."""
+def _param_label_fn(exp: ExperimentConfig,
+                    unfrozen_layers: Optional[set] = None) -> Callable:
+    """Label params: 'frozen' (zeroed), 'backbone' (scaled LR), 'main'.
+
+    ``unfrozen_layers`` (the last-N encoder layer key names) is derived from the
+    actual param tree in ``param_labels`` so the numbering is correct for any
+    encoder depth; when None, falls back to output_dim-based 12/24-layer numbering.
+    """
     w = exp.model.wav2vec2
-    unfrozen_layers = set()
-    if w.unfreeze_last_n > 0:
-        # maze6-style: the LAST N transformer layers train at backbone LR
-        n_layers = 24 if w.output_dim >= 1024 else 12
-        unfrozen_layers = {f"layers_{i}" for i in
-                           range(n_layers - w.unfreeze_last_n, n_layers)}
+    if unfrozen_layers is None:
+        unfrozen_layers = set()
+        if w.unfreeze_last_n > 0:
+            # maze6-style: the LAST N transformer layers train at backbone LR
+            n_layers = 24 if w.output_dim >= 1024 else 12
+            unfrozen_layers = {f"layers_{i}" for i in
+                               range(n_layers - w.unfreeze_last_n, n_layers)}
 
     def label(path, _leaf):
         keys = [getattr(p, "key", None) for p in path]
@@ -113,6 +120,34 @@ def _param_label_fn(exp: ExperimentConfig) -> Callable:
     return label
 
 
+def param_labels(exp: ExperimentConfig, params):
+    """Build the multi_transform label tree from the REAL param tree: the last-N
+    unfrozen encoder layers are picked from the layer indices actually present
+    (robust to any encoder depth — tiny test archs included)."""
+    import jax
+
+    w = exp.model.wav2vec2
+    unfrozen: Optional[set] = None
+    if w.unfreeze_last_n > 0:
+        idxs = set()
+
+        def collect(path, _leaf):
+            keys = [getattr(p, "key", None) for p in path]
+            if "wav2vec2" in keys:
+                for k in keys:
+                    if isinstance(k, str) and k.startswith("layers_"):
+                        try:
+                            idxs.add(int(k.split("_", 1)[1]))
+                        except ValueError:
+                            pass
+            return 0
+
+        jax.tree_util.tree_map_with_path(collect, params)
+        unfrozen = {f"layers_{i}" for i in sorted(idxs)[-w.unfreeze_last_n:]}
+    label_fn = _param_label_fn(exp, unfrozen)
+    return jax.tree_util.tree_map_with_path(label_fn, params)
+
+
 def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
     """Full optax chain: clip-by-global-norm -> {frozen: zero, backbone: scaled-LR,
     main: base}. Returns (tx, schedule)."""
@@ -122,9 +157,6 @@ def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
     def scaled(s):
         return lambda step: s(step) * ocfg.backbone_lr_scale
 
-    import jax
-
-    label_fn = _param_label_fn(exp)
     stages = [
         optax.clip_by_global_norm(ocfg.grad_clip_norm),
         optax.multi_transform(
@@ -133,7 +165,7 @@ def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
                 "backbone": _base_optimizer(ocfg, scaled(schedule)),
                 "frozen": optax.set_to_zero(),
             },
-            lambda params: jax.tree_util.tree_map_with_path(label_fn, params),
+            lambda params: param_labels(exp, params),
         ),
     ]
     if ocfg.scheduler == "plateau":

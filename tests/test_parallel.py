@@ -100,3 +100,49 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_mesh_sharded_eval_matches_single_device(fixture_dir, tmp_path):
+    """evaluate_to_file(..., mesh=...) over the synthetic eval split must produce
+    the same utt_ids and scores as the single-device path (runner.py mesh branch;
+    SURVEY.md 2.9 eval sharding). Batch 6 is NOT device-divisible, exercising
+    pad_batch_to_devices."""
+    from adfmsl.data import parse_protocol
+    from adfmsl.evaluation import evaluate_to_file
+    from adfmsl.train import make_dataset_and_loader, make_eval_step
+
+    exp = make_experiment("maze5")
+    exp.data.cut = 4000
+    model = build_model(exp.model)
+    x = jnp.zeros((2, exp.data.cut))
+    variables = model.init({"params": jax.random.PRNGKey(3)}, x, train=False)
+    tx, _ = make_optimizer(exp, 10)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats"), tx)
+    eval_step = jax.jit(make_eval_step(exp))
+
+    proto = parse_protocol(fixture_dir["eval"]["protocol"])
+    def loader():
+        return make_dataset_and_loader(exp, proto, fixture_dir["eval"]["audio_dir"],
+                                       shuffle=False, batch_size=6, drop_last=False)
+
+    res1 = evaluate_to_file(state, loader(), str(tmp_path / "s1.txt"),
+                            labels=proto.labels, eval_step=eval_step)
+
+    mesh = make_mesh(MeshConfig())
+    state_r = state.replace(params=replicate(mesh, state.params),
+                            batch_stats=replicate(mesh, state.batch_stats),
+                            opt_state=replicate(mesh, state.opt_state))
+    res8 = evaluate_to_file(state_r, loader(), str(tmp_path / "s8.txt"),
+                            labels=proto.labels, eval_step=eval_step, mesh=mesh)
+
+    assert res1.utt_ids == res8.utt_ids == proto.utt_ids
+    np.testing.assert_allclose(res8.scores, res1.scores, rtol=1e-5, atol=1e-6)
+    assert res1.metrics["eer"] == pytest.approx(res8.metrics["eer"], abs=1e-9)
+
+
+def test_graft_dryrun_multichip_w2v2_model():
+    """The dry run must also cover the w2v2 family (fusion + ASP + FMSL head)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, exp_name="maze6_fmsl", cut=4000, per_dev=1)

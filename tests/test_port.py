@@ -210,3 +210,110 @@ def test_rich_dict_checkpoint_unwrap(tmp_path):
     sd = load_torch_state_dict(p)
     assert "sinc_conv.low_hz_" in sd
     assert sd["fc1.weight"].shape == (1024, 256)
+
+
+# ---- RawNet2 (main / main_fmsl) parity ------------------------------------------
+
+class TRawBlock(tnn.Module):
+    """ASVspoof-baseline RawNet residual block semantics (re-driven in
+    main_fmsl_standardized.py:121-146): leaky 0.3, k3 convs, 1x1 skip on channel
+    change, MaxPool1d(3)."""
+
+    def __init__(self, cin, cout, first=False):
+        super().__init__()
+        self.first = first
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, padding=1)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_downsample = tnn.Conv1d(cin, cout, 1)
+        self.mp = tnn.MaxPool1d(3)
+
+    def forward(self, x):
+        h = x if self.first else tF.leaky_relu(self.bn1(x), 0.3)
+        h = self.conv1(h)
+        h = self.conv2(tF.leaky_relu(self.bn2(h), 0.3))
+        skip = self.conv_downsample(x) if hasattr(self, "conv_downsample") else x
+        return self.mp(h + skip)
+
+
+class TRawNet(tnn.Module):
+    """RawNet2 topology with the reference's attribute/key layout
+    (main_fmsl_standardized.py:101-157): Sinc_conv, block0-5, fc_attention0-5,
+    bn_before_gru, stacked batch-first GRU, fc1_gru (+ fc2_gru / fmsl_system)."""
+
+    def __init__(self, gru_layers=2, fmsl=False):
+        super().__init__()
+        self.Sinc_conv = TSinc()
+        self.first_bn = tnn.BatchNorm1d(128)
+        plan = [(128, 128), (128, 128), (128, 256), (256, 256), (256, 256),
+                (256, 256)]
+        for i, (a, b) in enumerate(plan):
+            setattr(self, f"block{i}", TRawBlock(a, b, first=(i == 0)))
+            setattr(self, f"fc_attention{i}", tnn.Linear(b, b))
+        self.bn_before_gru = tnn.BatchNorm1d(256)
+        self.gru = tnn.GRU(256, 1024, num_layers=gru_layers, batch_first=True)
+        self.fc1_gru = tnn.Linear(1024, 1024)
+        if fmsl:
+            self.fmsl_system = TFMSL(1024)
+            self.fmsl_s = 32.0
+        else:
+            self.fc2_gru = tnn.Linear(1024, 2)
+
+    def forward(self, x):
+        h = self.Sinc_conv(x.unsqueeze(1))
+        h = tF.max_pool1d(torch.abs(h), 3)
+        h = tF.selu(self.first_bn(h))
+        for i in range(6):
+            hi = getattr(self, f"block{i}")(h)
+            y = torch.sigmoid(getattr(self, f"fc_attention{i}")(hi.mean(dim=2)))
+            h = hi * y.unsqueeze(-1) + y.unsqueeze(-1)
+        h = tF.selu(self.bn_before_gru(h))
+        out, _ = self.gru(h.permute(0, 2, 1))
+        feat = self.fc1_gru(out[:, -1, :])
+        if hasattr(self, "fmsl_system"):
+            emb = self.fmsl_system(feat)
+            w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
+            return self.fmsl_s * (emb @ w.T)        # eval AM-softmax logits
+        return tF.log_softmax(self.fc2_gru(feat), dim=-1)
+
+
+@pytest.mark.parametrize("name,prefix", [("main", ""), ("main_fmsl", "backbone.")])
+def test_ported_rawnet_forward_parity(name, prefix):
+    rng = np.random.default_rng(4)
+    is_fmsl = name.endswith("_fmsl")
+    tmodel = TRawNet(gru_layers=2, fmsl=is_fmsl).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        if k.startswith(("fmsl_system.",)) or not prefix:
+            sd[k] = v.detach().numpy()
+        else:
+            sd[prefix + k] = v.detach().numpy()
+    params, stats, report = port_maze_state_dict(sd, name)
+    assert report["missing"] == []
+    assert report["unconsumed"] == []
+    assert report["gru_layers"] == 2
+
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    exp = reference_parity_experiment(name)
+    exp.data.cut = 8000
+    exp.model.architecture.nb_gru_layer = 2
+    model = build_model(exp.model)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    merged = merge_params(variables["params"], params)
+    merged_stats = merge_params(variables["batch_stats"], stats)
+    out = model.apply({"params": merged, "batch_stats": merged_stats},
+                      jnp.asarray(x), train=False)
+    got = np.asarray(out["logits"] if is_fmsl
+                     else jax.nn.log_softmax(out["logits"], axis=-1))
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)

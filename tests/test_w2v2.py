@@ -62,3 +62,33 @@ def test_w2v2_input_normalisation_matches_processor_semantics():
     a = np.asarray(enc_norm.apply({"params": params}, jnp.asarray(x)))
     b = np.asarray(enc.apply({"params": params}, jnp.asarray(xn)))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_w2v2_full_base_arch_parity():
+    """Full base-960h architecture (12 layers, 7-conv group-norm stack, 768 hidden)
+    at random init: exactly where f32 drift compounds (VERDICT round-1 weak #7).
+    One short clip keeps the 95M-param torch CPU forward fast."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.manual_seed(0)
+    cfg = Wav2Vec2Config()                      # HF defaults == base-960h arch
+    tm = Wav2Vec2Model(cfg).eval()
+    arch = W2V2Arch.base()
+    params = port_hf_state_dict({k: v.numpy() for k, v in tm.state_dict().items()},
+                                arch)
+    x = np.random.default_rng(3).standard_normal((2, 3200)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x), output_hidden_states=True)
+    enc = Wav2Vec2Encoder(arch=arch, normalize_input=False)
+    got, hs = enc.apply({"params": params}, jnp.asarray(x),
+                        output_hidden_states=True)
+    ref = out.last_hidden_state.numpy()
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4 * max(scale, 1.0))
+    assert len(hs) == len(out.hidden_states) == 13
+    # the maze6 fusion taps (0, 6, 12) must match at depth too
+    for i in (0, 6, 12):
+        t_ref = out.hidden_states[i].numpy()
+        np.testing.assert_allclose(np.asarray(hs[i]), t_ref,
+                                   atol=2e-4 * max(np.abs(t_ref).max(), 1.0))
