@@ -52,13 +52,16 @@ class ResBlockSE(nn.Module):
     # 'tpu' (default): non-overlap pool, SE pre-pool, skip-conv on channel change.
     # 'reference': exact maze4.py:105-147 semantics — AvgPool1d(2s-1, s, pad=s-1)
     # counting pads, SE applied AFTER pooling, 1x1 skip when stride>1 OR channel
-    # change. Needed for forward parity with ported reference checkpoints.
+    # change. 'maze3': the maze3.py:206-263 variant — SE on the conv branch
+    # BEFORE the residual add, 1x1 skip on channel change only, same overlap
+    # pool. Needed for forward parity with ported reference checkpoints.
     semantics: str = "tpu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ref = self.semantics == "reference"
+        m3 = self.semantics == "maze3"
         h = x
         if not self.first:
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
@@ -70,16 +73,18 @@ class ResBlockSE(nn.Module):
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
         h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
                     name="conv2")(h)
+        if self.use_se and m3:
+            h = SEBlock(self.out_channels, name="se")(h)
 
         skip = x
         if self.in_channels != self.out_channels or (ref and self.stride > 1):
             skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
                            name="downsample")(skip)
         out = h + skip
-        if self.use_se and not ref:
+        if self.use_se and not (ref or m3):
             out = SEBlock(self.out_channels, name="se")(out)
         if self.stride > 1:
-            if ref:
+            if ref or m3:
                 # torch AvgPool1d(kernel=2s-1, stride=s, padding=s-1) with
                 # count_include_pad=True (flax avg_pool divides by the full
                 # window size, matching)
@@ -185,22 +190,58 @@ class TransformerEncoderStack(nn.Module):
         return nn.Dense(out_dim, dtype=self.dtype, name="out_proj")(h)
 
 
+class PlainTransformerEncoder(nn.Module):
+    """torch ``nn.TransformerEncoder`` applied directly at the trunk dim — NO
+    input/output projection and NO positional embedding (maze2.py:160-166,
+    maze6.py:236-241 feed the 256-ch trunk straight through batch-first
+    post-LN layers)."""
+
+    d_model: int
+    n_heads: int = 8
+    n_layers: int = 6
+    d_ff: int = 2048
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):          # (B, T, C=d_model)
+        for i in range(self.n_layers):
+            x = TransformerEncoderLayer(self.d_model, self.n_heads, self.d_ff,
+                                        self.dropout_rate, dtype=self.dtype,
+                                        name=f"layer{i}")(x, train=train)
+        return x
+
+
 class ConvFMSLLayer(nn.Module):
-    """maze8's original conv 'FMSL' (maze8.py:76-131): depth of processing kept, but
-    note the FMSL-standardized models deliberately dropped it as 'not true geometric
-    manifold shaping' (maze4_fmsl_standardized.py:229). Baseline maze8 parity only."""
+    """maze8's original conv 'FMSL' (maze8.py:76-131): freq-modulation conv (k=7,
+    num_filters ch, BN+ReLU+Dropout) -> spectral-enhancement conv (k=3, BN+ReLU+
+    Dropout) -> channel attention (1x1 squeeze r=4) -> 1x1 back-projection +
+    residual. The FMSL-standardized models deliberately dropped it as 'not true
+    geometric manifold shaping' (maze4_fmsl_standardized.py:229) — baseline maze8
+    parity only."""
 
     channels: int
+    num_filters: int = 64
+    kernel_size: int = 7
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False):          # (B, T, C)
-        mod = nn.Conv(self.channels, (3,), padding="SAME", name="freq_mod")(x)
-        mod = nn.tanh(mod)
-        enh = nn.Conv(self.channels, (5,), padding="SAME", name="spectral_enh")(x * mod)
-        enh = nn.relu(enh)
-        att = jnp.mean(enh, axis=1)
-        att = nn.sigmoid(nn.Dense(self.channels, name="channel_att")(att))
-        out = nn.Conv(self.channels, (1,), name="out_proj")(enh * att[:, None, :])
+        h = nn.Conv(self.num_filters, (self.kernel_size,), padding="SAME",
+                    name="freq_mod_conv")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="freq_mod_bn")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.num_filters, (3,), padding="SAME", name="spec_enh_conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="spec_enh_bn")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        att = jnp.mean(h, axis=1)                        # AdaptiveAvgPool1d(1)
+        att = nn.relu(nn.Dense(max(self.num_filters // 4, 1), name="att1")(att))
+        att = nn.sigmoid(nn.Dense(self.num_filters, name="att2")(att))
+        out = nn.Conv(self.channels, (1,), name="out_proj")(h * att[:, None, :])
         return x + out
 
 

@@ -31,6 +31,7 @@ from adfmsl.heads.fmsl import FMSLHead
 from adfmsl.models.blocks import (
     AttentiveStatsPooling,
     ConvFMSLLayer,
+    PlainTransformerEncoder,
     ResStack,
     TransformerEncoderStack,
 )
@@ -52,12 +53,21 @@ class MazeSpec:
     first_bn_act: Optional[str] = None              # 'selu' | 'relu' after front end
     blocks: Tuple[Tuple[int, int, int], ...] = ()   # (cin, cout, stride)
     transformer: Optional[Tuple[int, int, int, int]] = None   # (d, heads, layers, ff)
+    # True: torch-style nn.TransformerEncoder at the trunk dim with a BN in
+    # front, no in/out projection or positional embedding (maze2/maze6).
+    # False: the custom in-proj + learned-pos-emb encoder
+    # (maze3_fmsl_standardized.py:98-137).
+    transformer_plain: bool = False
     conv_fmsl: bool = False                         # maze8's old conv FMSL layer
     pooling: str = "avg"                            # 'avg' | 'asp'
     fc1: Optional[int] = 1024
+    fc1_act: Optional[str] = None                   # 'relu' between fc1 and dropout (maze3)
     score: str = "log_softmax"                      # 'log_softmax' | 'logit'
     fmsl_input_dim: int = 512                       # Dense before FMSLHead
     fusion_layers: Optional[Tuple[int, ...]] = None # maze6 w2v2 taps
+    # Structural block variant used when architecture.block_semantics='reference'
+    # (maze3's file-local Residual_Block_SE differs from maze4's — SURVEY 2.2).
+    block_variant: Optional[str] = None
 
 
 def _pooled_dim(spec: MazeSpec, trunk_dim: int) -> int:
@@ -132,16 +142,28 @@ class MazeModel(nn.Module):
                 h = ConvFMSLLayer(h.shape[-1], name="conv_fmsl")(h, train=train)
 
             if spec.blocks:
+                semantics = cfg.architecture.block_semantics
+                if semantics == "reference" and spec.block_variant:
+                    semantics = spec.block_variant
                 h = ResStack(spec.blocks, cfg.architecture.dropout_rate,
-                             semantics=cfg.architecture.block_semantics,
+                             semantics=semantics,
                              dtype=dtype, name="trunk")(h, train=train)
 
             if spec.transformer:
                 d, heads, layers, ff = spec.transformer
-                h = TransformerEncoderStack(
-                    in_dim=h.shape[-1], d_model=d, n_heads=heads, n_layers=layers,
-                    d_ff=ff, out_dim=h.shape[-1], dtype=dtype,
-                    name="transformer")(h, train=train)
+                if spec.transformer_plain:
+                    # maze2.py:158-166 / maze6.py:235-241: BN then a torch-style
+                    # encoder straight at the trunk dim
+                    h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                     name="bn_before_transformer")(h)
+                    h = PlainTransformerEncoder(
+                        d_model=d, n_heads=heads, n_layers=layers, d_ff=ff,
+                        dtype=dtype, name="transformer")(h, train=train)
+                else:
+                    h = TransformerEncoderStack(
+                        in_dim=h.shape[-1], d_model=d, n_heads=heads,
+                        n_layers=layers, d_ff=ff, out_dim=h.shape[-1], dtype=dtype,
+                        name="transformer")(h, train=train)
 
             if spec.pooling == "asp":
                 pooled = AttentiveStatsPooling(h.shape[-1], name="asp")(h)
@@ -155,6 +177,8 @@ class MazeModel(nn.Module):
             feats = pooled
             if spec.fc1:
                 feats = nn.Dense(spec.fc1, name="fc1")(pooled)
+                if spec.fc1_act == "relu":   # maze3 classifier (maze3.py:137-142)
+                    feats = nn.relu(feats)
                 feats = nn.Dropout(cfg.architecture.fc_dropout,
                                    deterministic=not train)(feats)
             logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(feats)
@@ -200,32 +224,40 @@ class MazeModel(nn.Module):
 
 _SINC_BLOCKS = ((128, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
                 (128, 256, 2))                       # maze4.py:192-210
-_W2V2_BLOCKS_6 = ((768, 128, 1), (128, 128, 2), (128, 128, 2), (128, 256, 2),
-                  (256, 256, 2), (256, 256, 2))      # maze2.py:119-193 (6 blocks)
-_W2V2_BLOCKS_3 = ((128, 128, 1), (128, 128, 1), (128, 128, 1))  # maze3.py:101-164
+# maze2.py:143-155: block0 (w2v2_dim->128, s1) then 5 strided blocks following
+# filts [128,[128,128],[128,256]] pair-walk, ending 256->256
+_W2V2_BLOCKS_MAZE2 = ((768, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
+                      (128, 256, 2), (256, 256, 2))
+# maze6.py:213-231: block0 (projected 1024 -> 128) + the maze4-style strided walk
+_W2V2_BLOCKS_MAZE6 = ((1024, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
+                      (128, 256, 2))
+# maze3.py:118-132: three blocks, each with its built-in stride-2 overlap pool
+_W2V2_BLOCKS_MAZE3 = ((128, 128, 2), (128, 128, 2), (128, 256, 2))
 
 SPECS = {
     "main": MazeSpec("main", "rawnet", ref="01_Baseline_Models/main.py:182",
                      score="log_softmax"),
     "maze2": MazeSpec("maze2", "w2v2", ref="maze2.py:119-193",
-                      blocks=_W2V2_BLOCKS_6, transformer=(256, 8, 6, 2048),
+                      blocks=_W2V2_BLOCKS_MAZE2,
+                      transformer=(256, 8, 6, 2048), transformer_plain=True,
                       first_bn_act="selu", fc1=1024),
     "maze3": MazeSpec("maze3", "w2v2", ref="maze3.py:101-164", proj_dim=128,
-                      blocks=_W2V2_BLOCKS_3, fc1=256, score="logit"),
+                      blocks=_W2V2_BLOCKS_MAZE3, fc1=256, fc1_act="relu",
+                      score="logit", block_variant="maze3"),
     "maze4": MazeSpec("maze4", "sinc", ref="maze4.py:165-247",
                       first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
     "maze5": MazeSpec("maze5", "sinc", ref="maze5.py:178-264",
                       first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
-    "maze6": MazeSpec("maze6", "w2v2", ref="maze6.py:182-267", proj_dim=256,
-                      first_bn_act="relu",
-                      blocks=((256, 256, 1), (256, 256, 2)),
-                      transformer=(256, 8, 4, 1024), pooling="asp",
-                      fc1=256, score="logit",
+    "maze6": MazeSpec("maze6", "w2v2", ref="maze6.py:182-267", proj_dim=1024,
+                      first_bn_act="relu", blocks=_W2V2_BLOCKS_MAZE6,
+                      transformer=(256, 8, 4, 2048), transformer_plain=True,
+                      pooling="asp", fc1=1024, score="logit",
                       fusion_layers=(0, 6, 12, 18, 24)),
     "maze7": MazeSpec("maze7", "w2v2", ref="maze7.py:144-217", proj_dim=128,
-                      blocks=_W2V2_BLOCKS_3, fc1=1024),
+                      first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
     "maze8": MazeSpec("maze8", "w2v2", ref="maze8.py:193-277", proj_dim=128,
-                      blocks=_W2V2_BLOCKS_3, conv_fmsl=True, fc1=1024),
+                      first_bn_act="selu", blocks=_SINC_BLOCKS, conv_fmsl=True,
+                      fc1=1024),
 }
 
 _FMSL_DIMS = {
@@ -240,13 +272,40 @@ _FMSL_DIMS = {
     "maze8": 256,
 }
 
+# Mode B/C eval files carry RAW logits[:,1] (maze2_fmsl_standardized.py:603);
+# only Mode A (maze5_fmsl, which keeps the original LogSoftmax head) stays
+# log-softmax.
+_FMSL_SCORE = {base: ("log_softmax" if base == "maze5" else "logit")
+               for base in SPECS}
+
 for base, s in list(SPECS.items()):
     SPECS[f"{base}_fmsl"] = MazeSpec(
         f"{base}_fmsl", s.frontend, ref=s.ref + " + fmsl_advanced.py:103-359",
         proj_dim=s.proj_dim, first_bn_act=s.first_bn_act, blocks=s.blocks,
-        transformer=s.transformer, conv_fmsl=False, pooling=s.pooling, fc1=s.fc1,
-        score=s.score, fmsl_input_dim=_FMSL_DIMS[base],
+        transformer=s.transformer, transformer_plain=s.transformer_plain,
+        conv_fmsl=False, pooling=s.pooling, fc1=s.fc1, fc1_act=s.fc1_act,
+        score=_FMSL_SCORE[base], fmsl_input_dim=_FMSL_DIMS[base],
         fusion_layers=s.fusion_layers)
+
+# The FMSL-standardized files re-assemble their OWN (smaller) trunks rather than
+# reusing the baseline's — override where they differ (SURVEY.md 2.4).
+SPECS["maze2_fmsl"] = MazeSpec(
+    "maze2_fmsl", "w2v2", ref="maze2_fmsl_standardized.py:394-487",
+    proj_dim=128, first_bn_act="selu",
+    blocks=((128, 128, 1), (128, 128, 2), (128, 256, 1)),
+    fc1=1024, score="logit", fmsl_input_dim=512)
+SPECS["maze3_fmsl"] = MazeSpec(
+    "maze3_fmsl", "w2v2", ref="maze3_fmsl_standardized.py:139-256",
+    proj_dim=128,
+    blocks=((128, 128, 1), (128, 128, 1), (128, 256, 1)),
+    transformer=(512, 8, 6, 2048),   # custom in-proj/pos-emb encoder (:98-137)
+    fc1=256, score="logit", fmsl_input_dim=256)
+SPECS["maze6_fmsl"] = MazeSpec(
+    "maze6_fmsl", "w2v2", ref="maze6_fmsl_standardized.py:213-382",
+    proj_dim=128, first_bn_act="selu",
+    blocks=((128, 128, 1), (128, 128, 2), (128, 256, 2)),
+    pooling="asp", fc1=256, score="logit", fmsl_input_dim=512,
+    fusion_layers=(0, 6, 12, 18, 24))
 
 for _name, _spec in SPECS.items():
     model_registry.register(_name, (lambda sp: lambda cfg: MazeModel(spec=sp, cfg=cfg))(_spec))

@@ -118,15 +118,35 @@ class _Mapper:
         self.dense(f"{tkey}.fc.0", *path, "fc1", bias=False, zero_bias_dim=-1)
         self.dense(f"{tkey}.fc.2", *path, "fc2", bias=False, zero_bias_dim=-1)
 
-    def res_block(self, tkey: str, *path: str, first: bool = False):
-        """Reference Residual_Block_SE (maze4.py:105-147) -> adfmsl ResBlockSE."""
+    def res_block(self, tkey: str, *path: str, first: bool = False,
+                  skip_key: str = "conv_downsample"):
+        """Reference Residual_Block_SE (maze4.py:105-147) -> adfmsl ResBlockSE.
+        maze3's file-local variant names the 1x1 skip 'shortcut' and nests its
+        SEBlock inside ('se', maze3.py:206-263)."""
         if not first:
             self.bn(f"{tkey}.bn1", *path, "bn1")
         self.conv(f"{tkey}.conv1", *path, "conv1")
         self.bn(f"{tkey}.bn2", *path, "bn2")
         self.conv(f"{tkey}.conv2", *path, "conv2")
-        if any(k.startswith(f"{tkey}.conv_downsample.") for k in self.sd):
-            self.conv(f"{tkey}.conv_downsample", *path, "downsample")
+        if any(k.startswith(f"{tkey}.se.") for k in self.sd):
+            self.se(f"{tkey}.se", *path, "se")
+        if any(k.startswith(f"{tkey}.{skip_key}.") for k in self.sd):
+            self.conv(f"{tkey}.{skip_key}", *path, "downsample")
+
+    def conv_fmsl(self, tkey: str, *path: str):
+        """maze8's FMSLLayer (maze8.py:76-131) -> blocks.ConvFMSLLayer."""
+        self.conv(f"{tkey}.freq_modulation.0", *path, "freq_mod_conv")
+        self.bn(f"{tkey}.freq_modulation.1", *path, "freq_mod_bn")
+        self.conv(f"{tkey}.spectral_enhancement.0", *path, "spec_enh_conv")
+        self.bn(f"{tkey}.spectral_enhancement.1", *path, "spec_enh_bn")
+        for idx, name in ((1, "att1"), (3, "att2")):   # 1x1 convs on (B,C,1) == Dense
+            w = self.take(f"{tkey}.freq_attention.{idx}.weight")
+            if w is not None:
+                self._set(self.params, path + (name, "kernel"), w[:, :, 0].T)
+                b = self.take(f"{tkey}.freq_attention.{idx}.bias")
+                if b is not None:
+                    self._set(self.params, path + (name, "bias"), b)
+        self.conv(f"{tkey}.output_projection", *path, "out_proj")
 
     def gru(self, tkey: str, *path: str):
         """torch stacked nn.GRU -> flax GRUCell stack (blocks.GRU naming).
@@ -172,8 +192,62 @@ class _Mapper:
         self.raw(f"{tkey}.weight", *path, "weight")
         self.raw(f"{tkey}.temperature", *path, "temperature", reshape=())
 
+    def torch_encoder_layer(self, tkey: str, *path: str, d: int, heads: int):
+        """torch nn.TransformerEncoderLayer -> blocks.TransformerEncoderLayer
+        (post-LN, ReLU FFN). in_proj packs q/k/v rows; flax attention kernels are
+        (d, heads, head_dim) / out (heads, head_dim, d)."""
+        hd = d // heads
+        wqkv = self.take(f"{tkey}.self_attn.in_proj_weight")
+        bqkv = self.take(f"{tkey}.self_attn.in_proj_bias")
+        if wqkv is not None:
+            for i, gate in enumerate(("query", "key", "value")):
+                w = wqkv[i * d:(i + 1) * d]
+                self._set(self.params, path + ("self_attn", gate, "kernel"),
+                          w.T.reshape(d, heads, hd))
+                if bqkv is not None:
+                    self._set(self.params, path + ("self_attn", gate, "bias"),
+                              bqkv[i * d:(i + 1) * d].reshape(heads, hd))
+        wo = self.take(f"{tkey}.self_attn.out_proj.weight")
+        if wo is not None:
+            self._set(self.params, path + ("self_attn", "out", "kernel"),
+                      wo.T.reshape(heads, hd, d))
+            self._set(self.params, path + ("self_attn", "out", "bias"),
+                      self.take(f"{tkey}.self_attn.out_proj.bias"))
+        for tname, fname in (("norm1", "norm1"), ("norm2", "norm2")):
+            w, b = self.take(f"{tkey}.{tname}.weight"), self.take(f"{tkey}.{tname}.bias")
+            if w is not None:
+                self._set(self.params, path + (fname, "scale"), w)
+                self._set(self.params, path + (fname, "bias"), b)
+        self.dense(f"{tkey}.linear1", *path, "ff1")
+        self.dense(f"{tkey}.linear2", *path, "ff2")
 
-def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str
+    def w2v2_backbone(self, prefix: str, arch=None):
+        """'<prefix>wav2vec2_extractor.model.*' HF keys -> params['wav2vec2']
+        via models.w2v2.port_hf_state_dict (arch inferred when not given)."""
+        from adfmsl.models.w2v2 import W2V2Arch, port_hf_state_dict
+
+        pre = f"{prefix}wav2vec2_extractor.model."
+        hf = {k[len(pre):]: self.sd.pop(k) for k in list(self.sd)
+              if k.startswith(pre)}
+        # masked_spec_embed exists in HF checkpoints but is inference-irrelevant
+        hf.pop("masked_spec_embed", None)
+        if not hf:
+            self.missing.append(pre + "*")
+            return
+        if arch is None:
+            hidden = hf["feature_projection.projection.weight"].shape[0]
+            n_layers = 1 + max(int(k.split(".")[2]) for k in hf
+                               if k.startswith("encoder.layers."))
+            arch = W2V2Arch.large_960h() if hidden >= 1024 else W2V2Arch.base()
+            if (hidden, n_layers) not in ((768, 12), (1024, 24)):
+                raise ValueError(
+                    f"cannot infer W2V2Arch for hidden={hidden}, layers="
+                    f"{n_layers}; pass w2v2_arch explicitly")
+        self.params["wav2vec2"] = port_hf_state_dict(hf, arch)
+
+
+def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
+                         w2v2_arch=None
                          ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
     """torch state dict -> (params, batch_stats, report) for MazeModel.
 
@@ -258,11 +332,65 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str
             m.dense("fc2", "fc2")
             if is_fmsl:   # maze5_fmsl Mode A: fc1 -> FMSL refiner -> fc2
                 m.fmsl("fmsl_system", "fmsl")
+    elif model_name in ("maze7", "maze8", "maze7_fmsl", "maze8_fmsl"):
+        # maze7.py:144-217 / maze8.py:193-277 and their fmsl variants share the
+        # trunk: 1x1 projection -> first BN+SELU -> block0 + 4 strided SE blocks
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.bn("first_bn", "first_bn")
+        m.res_block("block0", "trunk", "block0", first=True)
+        m.se("se0", "trunk", "block0", "se")
+        for i in range(4):
+            m.res_block(f"res_blocks.{i}", "trunk", f"block{i + 1}")
+            m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
+        if model_name == "maze8":
+            m.conv_fmsl("fmsl_layer", "conv_fmsl")
+        if is_fmsl:
+            # pooled 256 feeds the FMSL system directly (maze7_fmsl_standardized
+            # .py:179-291) — fmsl_projection becomes identity
+            m.fmsl("fmsl_system", "fmsl")
+            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+            m.params["fmsl_projection"] = {
+                "kernel": np.eye(d, dtype=np.float32),
+                "bias": np.zeros(d, dtype=np.float32),
+            }
+        else:
+            m.dense("fc1", "fc1")
+            m.dense("fc2", "fc2")
+    elif model_name == "maze2":
+        # maze2.py:119-193: no projection; BN over the w2v2 dim, 6 SE blocks,
+        # BN + plain torch TransformerEncoder at d=256
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.bn("first_bn", "first_bn")
+        m.res_block("block0", "trunk", "block0", first=True)
+        m.se("se0", "trunk", "block0", "se")
+        for i in range(1, 6):
+            m.res_block(f"block{i}", "trunk", f"block{i}")
+            m.se(f"se{i}", "trunk", f"block{i}", "se")
+        m.bn("bn_before_transformer", "bn_before_transformer")
+        i = 0
+        while any(k.startswith(f"transformer_encoder.layers.{i}.") for k in m.sd):
+            m.torch_encoder_layer(f"transformer_encoder.layers.{i}",
+                                  "transformer", f"layer{i}", d=256, heads=8)
+            i += 1
+        m.dense("fc1", "fc1")
+        m.dense("fc2", "fc2")
+    elif model_name == "maze3":
+        # maze3.py:101-164: projection, three maze3-variant blocks (internal SE,
+        # 'shortcut' skip), MLP classifier with ReLU
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.res_block("blocks.0", "trunk", "block0", first=True, skip_key="shortcut")
+        m.res_block("blocks.1", "trunk", "block1", skip_key="shortcut")
+        m.res_block("final_block", "trunk", "block2", skip_key="shortcut")
+        m.dense("classifier.0", "fc1")
+        m.dense("classifier.3", "fc2")
     else:
         raise ValueError(
             f"no torch->flax mapping for {model_name!r} (supported: main, "
-            f"main_fmsl, maze4, maze5, maze4_fmsl, maze5_fmsl; Wav2Vec2 "
-            f"backbones port via models/pretrained.py)")
+            f"main_fmsl, maze2, maze3, maze4, maze5, maze4_fmsl, maze5_fmsl, "
+            f"maze7, maze7_fmsl, maze8, maze8_fmsl; maze2/3/6 fmsl variants and "
+            f"maze6 are not yet mapped)")
 
     report = {"missing": list(m.missing), "unconsumed": sorted(m.sd.keys())}
     if base == "main":

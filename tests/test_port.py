@@ -317,3 +317,253 @@ def test_ported_rawnet_forward_parity(name, prefix):
                      else jax.nn.log_softmax(out["logits"], axis=-1))
     scale = max(float(np.abs(ref).max()), 1.0)
     np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)
+
+
+# ---- w2v2-trunk families (maze2 / maze3 / maze7 / maze8 ± fmsl) ------------------
+
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_hf_w2v2():
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, conv_dim=(32, 32), conv_kernel=(10, 3),
+        conv_stride=(5, 2), feat_extract_norm="group",
+        do_stable_layer_norm=False, num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16)
+    return Wav2Vec2Model(cfg).eval()
+
+
+class TW2V2Wrap(tnn.Module):
+    """Reference Wav2Vec2FeatureExtractor semantics (maze7.py:38-84): processor
+    zero-mean/unit-var normalisation -> HF model -> (B, C, T)."""
+
+    def __init__(self):
+        super().__init__()
+        self.model = _tiny_hf_w2v2()
+
+    def forward(self, x):
+        x = (x - x.mean(dim=1, keepdim=True)) / torch.sqrt(
+            x.var(dim=1, keepdim=True, unbiased=False) + 1e-7)
+        return self.model(x).last_hidden_state.permute(0, 2, 1)
+
+
+class TConvFMSL(tnn.Module):
+    """maze8.py:76-131 FMSLLayer key layout."""
+
+    def __init__(self, c=128, nf=64, k=7, p=0.1):
+        super().__init__()
+        self.freq_modulation = tnn.Sequential(
+            tnn.Conv1d(c, nf, k, padding=k // 2), tnn.BatchNorm1d(nf),
+            tnn.ReLU(), tnn.Dropout(p))
+        self.spectral_enhancement = tnn.Sequential(
+            tnn.Conv1d(nf, nf, 3, padding=1), tnn.BatchNorm1d(nf),
+            tnn.ReLU(), tnn.Dropout(p))
+        self.freq_attention = tnn.Sequential(
+            tnn.AdaptiveAvgPool1d(1), tnn.Conv1d(nf, nf // 4, 1), tnn.ReLU(),
+            tnn.Conv1d(nf // 4, nf, 1), tnn.Sigmoid())
+        self.output_projection = tnn.Conv1d(nf, c, 1)
+
+    def forward(self, x):
+        h = self.spectral_enhancement(self.freq_modulation(x))
+        return x + self.output_projection(h * self.freq_attention(h))
+
+
+class TMaze7(tnn.Module):
+    """maze7.py:144-217 / maze8.py:193-277 (conv_fmsl) / fmsl variants."""
+
+    def __init__(self, conv_fmsl=False, fmsl=False, fmsl_s=32.0):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Wrap()
+        self.feature_projection = tnn.Conv1d(64, 128, 1)
+        self.first_bn = tnn.BatchNorm1d(128)
+        self.block0 = TRes(128, 128, first=True)
+        self.se0 = TSE(128)
+        plan = [(128, 128), (128, 128), (128, 128), (128, 256)]
+        self.res_blocks = tnn.ModuleList(TRes(a, b, stride=2) for a, b in plan)
+        self.se_blocks = tnn.ModuleList(TSE(b) for _, b in plan)
+        if conv_fmsl:
+            self.fmsl_layer = TConvFMSL(128)
+        if fmsl:
+            self.fmsl_system = TFMSL(256)
+            self.fmsl_s = fmsl_s
+        else:
+            self.fc1 = tnn.Linear(256, 1024)
+            self.fc2 = tnn.Linear(1024, 2)
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        h = tF.selu(self.first_bn(h))
+        if hasattr(self, "fmsl_layer"):
+            h = self.fmsl_layer(h)
+        h = self.se0(self.block0(h))
+        for blk, se in zip(self.res_blocks, self.se_blocks):
+            h = se(blk(h))
+        h = h.mean(dim=2)
+        if hasattr(self, "fmsl_system"):
+            emb = self.fmsl_system(h)
+            w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
+            return self.fmsl_s * (emb @ w.T)
+        return tF.log_softmax(self.fc2(self.fc1(h)), dim=-1)
+
+
+class TMaze2(tnn.Module):
+    """maze2.py:119-193: BN over the w2v2 dim, 6 SE blocks, BN + plain torch
+    TransformerEncoder at d=256, fc1/fc2, LogSoftmax."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Wrap()
+        self.first_bn = tnn.BatchNorm1d(64)
+        plan = [(64, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
+                (128, 256, 2), (256, 256, 2)]
+        for i, (a, b, s) in enumerate(plan):
+            setattr(self, f"block{i}", TRes(a, b, first=(i == 0), stride=s))
+            setattr(self, f"se{i}", TSE(b))
+        self.bn_before_transformer = tnn.BatchNorm1d(256)
+        layer = tnn.TransformerEncoderLayer(
+            d_model=256, nhead=8, dim_feedforward=2048, dropout=0.1,
+            activation="relu", batch_first=True)
+        self.transformer_encoder = tnn.TransformerEncoder(layer, num_layers=2)
+        self.fc1 = tnn.Linear(256, 1024)
+        self.fc2 = tnn.Linear(1024, 2)
+
+    def forward(self, x):
+        h = tF.selu(self.first_bn(self.wav2vec2_extractor(x)))
+        for i in range(6):
+            h = getattr(self, f"se{i}")(getattr(self, f"block{i}")(h))
+        h = self.bn_before_transformer(h).permute(0, 2, 1)
+        h = self.transformer_encoder(h).permute(0, 2, 1)
+        return tF.log_softmax(self.fc2(self.fc1(h.mean(dim=2))), dim=-1)
+
+
+class TM3Block(tnn.Module):
+    """maze3.py:206-263 variant: internal SE pre-add, 'shortcut' skip, always
+    AvgPool1d(3, 2, 1)."""
+
+    def __init__(self, cin, cout, first=False, p=0.3):
+        super().__init__()
+        self.first = first
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, padding=1)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.dropout = tnn.Dropout(p)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1)
+        self.se = TSE(cout)
+        if cin != cout:
+            self.shortcut = tnn.Conv1d(cin, cout, 1)
+        self.pool = tnn.AvgPool1d(3, 2, 1)
+
+    def forward(self, x):
+        h = x if self.first else tF.relu(self.bn1(x))
+        h = self.conv1(h)
+        h = self.se(self.conv2(self.dropout(tF.relu(self.bn2(h)))))
+        skip = self.shortcut(x) if hasattr(self, "shortcut") else x
+        return self.pool(h + skip)
+
+
+class TMaze3(tnn.Module):
+    """maze3.py:101-164: projection, 3 maze3-variant blocks, MLP classifier."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Wrap()
+        self.feature_projection = tnn.Conv1d(64, 128, 1)
+        self.blocks = tnn.ModuleList([TM3Block(128, 128, first=True),
+                                      TM3Block(128, 128)])
+        self.final_block = TM3Block(128, 256)
+        self.classifier = tnn.Sequential(tnn.Linear(256, 256), tnn.ReLU(),
+                                         tnn.Dropout(0.5), tnn.Linear(256, 2))
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        for b in self.blocks:
+            h = b(h)
+        h = self.final_block(h)
+        return self.classifier(h.mean(dim=2))
+
+
+def _port_w2v2_model(tmodel, name, x, spec_override=None):
+    from adfmsl.models.mazes import MazeModel, SPECS
+    from adfmsl.models.w2v2 import W2V2Arch
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats, report = port_maze_state_dict(sd, name,
+                                                 w2v2_arch=W2V2Arch.tiny())
+    assert report["missing"] == []
+    assert report["unconsumed"] == []
+
+    exp = reference_parity_experiment(name)
+    exp.data.cut = x.shape[1]
+    exp.model.wav2vec2.model_name = "tiny"
+    model = (MazeModel(spec=spec_override, cfg=exp.model) if spec_override
+             else build_model(exp.model))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    merged = merge_params(variables["params"], params)
+    merged_stats = merge_params(variables["batch_stats"], stats)
+    return model.apply({"params": merged, "batch_stats": merged_stats},
+                       jnp.asarray(x), train=False)
+
+
+@pytest.mark.parametrize("name", ["maze7", "maze8", "maze7_fmsl", "maze8_fmsl"])
+def test_ported_maze7_family_forward_parity(name):
+    rng = np.random.default_rng(5)
+    torch.manual_seed(5)
+    is_fmsl = name.endswith("_fmsl")
+    # AM-softmax scale follows the per-model drift (config/standardized.py)
+    drift_s = {"maze7_fmsl": 5.0, "maze8_fmsl": 2.0}.get(name, 32.0)
+    tmodel = TMaze7(conv_fmsl=(name == "maze8"), fmsl=is_fmsl,
+                    fmsl_s=drift_s).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = _port_w2v2_model(tmodel, name, x)
+    got = np.asarray(out["logits"] if is_fmsl
+                     else jax.nn.log_softmax(out["logits"], axis=-1))
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_ported_maze2_forward_parity():
+    rng = np.random.default_rng(6)
+    torch.manual_seed(6)
+    tmodel = TMaze2().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    # spec has 6 transformer layers; the test torch model carries 2, so build
+    # MazeModel with a 2-layer spec directly (the registry closure captures the
+    # canonical spec at import)
+    import dataclasses
+
+    from adfmsl.models.mazes import SPECS
+
+    spec2 = dataclasses.replace(SPECS["maze2"], transformer=(256, 8, 2, 2048))
+    out = _port_w2v2_model(tmodel, "maze2", x, spec_override=spec2)
+    got = np.asarray(jax.nn.log_softmax(out["logits"], axis=-1))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_ported_maze3_forward_parity():
+    rng = np.random.default_rng(7)
+    torch.manual_seed(7)
+    tmodel = TMaze3().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = _port_w2v2_model(tmodel, "maze3", x)
+    got = np.asarray(out["logits"])
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref[:, 1],
+                               atol=1e-3 * scale)
