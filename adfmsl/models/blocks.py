@@ -60,6 +60,36 @@ class ResBlockSE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.semantics == "fmsl_plain":
+            # maze3/6_fmsl_standardized.py:48-94 variant: bias-free convs,
+            # conv-stride downsampling (torch pad=1), the pre-activation feeds
+            # BOTH branches, dropout after conv2, no pool; SE (when present in
+            # the wrapper) applies after the residual add.
+            h = x
+            if not self.first:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="bn1")(h)
+                h = nn.relu(h)
+            pre = h
+            h = nn.Conv(self.out_channels, (3,), strides=(self.stride,),
+                        padding=((1, 1),), use_bias=False, dtype=self.dtype,
+                        name="conv1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="bn2")(h)
+            h = nn.relu(h)
+            h = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
+                        use_bias=False, dtype=self.dtype, name="conv2")(h)
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            skip = pre
+            if self.stride != 1 or self.in_channels != self.out_channels:
+                skip = nn.Conv(self.out_channels, (1,), strides=(self.stride,),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample")(pre)
+            out = h + skip
+            if self.use_se:
+                out = SEBlock(self.out_channels, name="se")(out)
+            return out
+
         ref = self.semantics == "reference"
         m3 = self.semantics == "maze3"
         h = x
@@ -130,7 +160,7 @@ class AttentiveStatsPooling(nn.Module):
         w = jax.nn.softmax(a, axis=1)
         mean = jnp.sum(w * x, axis=1)
         var = jnp.sum(w * (x - mean[:, None, :]) ** 2, axis=1)
-        std = jnp.sqrt(jnp.maximum(var, 1e-9))
+        std = jnp.sqrt(var + 1e-6)       # reference adds eps inside the sqrt
         return jnp.concatenate([mean, std], axis=-1)
 
 

@@ -68,6 +68,7 @@ class MazeSpec:
     # Structural block variant used when architecture.block_semantics='reference'
     # (maze3's file-local Residual_Block_SE differs from maze4's — SURVEY 2.2).
     block_variant: Optional[str] = None
+    use_se: bool = True                             # maze3_fmsl's blocks have no SE
 
 
 def _pooled_dim(spec: MazeSpec, trunk_dim: int) -> int:
@@ -146,7 +147,7 @@ class MazeModel(nn.Module):
                 if semantics == "reference" and spec.block_variant:
                     semantics = spec.block_variant
                 h = ResStack(spec.blocks, cfg.architecture.dropout_rate,
-                             semantics=semantics,
+                             semantics=semantics, use_se=spec.use_se,
                              dtype=dtype, name="trunk")(h, train=train)
 
             if spec.transformer:
@@ -299,13 +300,14 @@ SPECS["maze3_fmsl"] = MazeSpec(
     proj_dim=128,
     blocks=((128, 128, 1), (128, 128, 1), (128, 256, 1)),
     transformer=(512, 8, 6, 2048),   # custom in-proj/pos-emb encoder (:98-137)
-    fc1=256, score="logit", fmsl_input_dim=256)
+    fc1=256, score="logit", fmsl_input_dim=256,
+    block_variant="fmsl_plain", use_se=False)   # :48-94 blocks carry no SE
 SPECS["maze6_fmsl"] = MazeSpec(
     "maze6_fmsl", "w2v2", ref="maze6_fmsl_standardized.py:213-382",
     proj_dim=128, first_bn_act="selu",
     blocks=((128, 128, 1), (128, 128, 2), (128, 256, 2)),
     pooling="asp", fc1=256, score="logit", fmsl_input_dim=512,
-    fusion_layers=(0, 6, 12, 18, 24))
+    fusion_layers=(0, 6, 12, 18, 24), block_variant="fmsl_plain")
 
 for _name, _spec in SPECS.items():
     model_registry.register(_name, (lambda sp: lambda cfg: MazeModel(spec=sp, cfg=cfg))(_spec))

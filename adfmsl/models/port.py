@@ -133,6 +133,22 @@ class _Mapper:
         if any(k.startswith(f"{tkey}.{skip_key}.") for k in self.sd):
             self.conv(f"{tkey}.{skip_key}", *path, "downsample")
 
+    def res_block_plain(self, tkey: str, *path: str, first: bool = False):
+        """The fmsl-file block variant (maze3/6_fmsl_standardized.py:48-94):
+        bias-free convs, 'shortcut' skip (Identity when unused)."""
+        if not first:
+            self.bn(f"{tkey}.bn1", *path, "bn1")
+        self.conv(f"{tkey}.conv1", *path, "conv1", bias=False)
+        self.bn(f"{tkey}.bn2", *path, "bn2")
+        self.conv(f"{tkey}.conv2", *path, "conv2", bias=False)
+        if f"{tkey}.shortcut.weight" in self.sd:
+            self.conv(f"{tkey}.shortcut", *path, "downsample", bias=False)
+
+    def asp(self, tkey: str, *path: str):
+        """AttentiveStatisticsPooling (maze6.py:167-180): attention_mlp.0/.2."""
+        self.dense(f"{tkey}.attention_mlp.0", *path, "att1")
+        self.dense(f"{tkey}.attention_mlp.2", *path, "att2")
+
     def conv_fmsl(self, tkey: str, *path: str):
         """maze8's FMSLLayer (maze8.py:76-131) -> blocks.ConvFMSLLayer."""
         self.conv(f"{tkey}.freq_modulation.0", *path, "freq_mod_conv")
@@ -375,6 +391,71 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             i += 1
         m.dense("fc1", "fc1")
         m.dense("fc2", "fc2")
+    elif model_name == "maze6":
+        # maze6.py:182-267: multi-level fusion projection -> BN/ReLU -> block0 +
+        # 4 strided blocks -> BN + plain 4-layer transformer -> ASP -> fc1/fc2
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.bn("first_bn", "first_bn")
+        m.res_block("block0", "trunk", "block0", first=True)
+        m.se("se0", "trunk", "block0", "se")
+        for i in range(4):
+            m.res_block(f"res_blocks.{i}", "trunk", f"block{i + 1}")
+            m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
+        m.bn("bn_before_transformer", "bn_before_transformer")
+        i = 0
+        while any(k.startswith(f"transformer_encoder.layers.{i}.") for k in m.sd):
+            m.torch_encoder_layer(f"transformer_encoder.layers.{i}",
+                                  "transformer", f"layer{i}", d=256, heads=8)
+            i += 1
+        m.asp("attentive_pooling", "asp")
+        m.dense("fc1", "fc1")
+        m.dense("fc2", "fc2")
+    elif model_name == "maze6_fmsl":
+        # maze6_fmsl_standardized.py:213-382: fmsl_plain blocks, ASP, FMSL at
+        # 512 (2x256); the NaN-fallback 'classifier' is dropped
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.bn("first_bn", "first_bn")
+        m.res_block_plain("block0", "trunk", "block0", first=True)
+        m.se("se0", "trunk", "block0", "se")
+        for i in range(2):
+            m.res_block_plain(f"res_blocks.{i}", "trunk", f"block{i + 1}")
+            m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
+        m.asp("attentive_pooling", "asp")
+        m.fmsl("fmsl_system", "fmsl")
+        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+        m.params["fmsl_projection"] = {
+            "kernel": np.eye(d, dtype=np.float32),
+            "bias": np.zeros(d, dtype=np.float32),
+        }
+        for k in list(m.sd):   # fallback classifier (maze6_fmsl:99-106) — unused
+            if k.startswith("classifier."):
+                m.sd.pop(k)
+    elif model_name == "maze3_fmsl":
+        # maze3_fmsl_standardized.py:139-256: fmsl_plain blocks (no SE), custom
+        # in-proj/pos-emb transformer (:98-137), FMSL at 256
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.res_block_plain("blocks.0", "trunk", "block0", first=True)
+        m.res_block_plain("blocks.1", "trunk", "block1")
+        m.res_block_plain("final_block", "trunk", "block2")
+        m.dense("transformer.input_projection", "transformer", "in_proj")
+        pe = m.take("transformer.positional_encoding")
+        if pe is not None:
+            m._set(m.params, ("transformer", "pos_embedding"), pe.reshape(pe.shape[-2:]))
+        i = 0
+        while any(k.startswith(f"transformer.transformer.layers.{i}.") for k in m.sd):
+            m.torch_encoder_layer(f"transformer.transformer.layers.{i}",
+                                  "transformer", f"layer{i}", d=512, heads=8)
+            i += 1
+        m.dense("transformer.output_projection", "transformer", "out_proj")
+        m.fmsl("fmsl_system", "fmsl")
+        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+        m.params["fmsl_projection"] = {
+            "kernel": np.eye(d, dtype=np.float32),
+            "bias": np.zeros(d, dtype=np.float32),
+        }
     elif model_name == "maze3":
         # maze3.py:101-164: projection, three maze3-variant blocks (internal SE,
         # 'shortcut' skip), MLP classifier with ReLU
@@ -387,10 +468,10 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         m.dense("classifier.3", "fc2")
     else:
         raise ValueError(
-            f"no torch->flax mapping for {model_name!r} (supported: main, "
-            f"main_fmsl, maze2, maze3, maze4, maze5, maze4_fmsl, maze5_fmsl, "
-            f"maze7, maze7_fmsl, maze8, maze8_fmsl; maze2/3/6 fmsl variants and "
-            f"maze6 are not yet mapped)")
+            f"no torch->flax mapping for {model_name!r} (supported: every model "
+            f"except maze2_fmsl, whose reference forward crashes on its own "
+            f"FMSL input-dim bug — maze2_fmsl_standardized.py:466-470, "
+            f"SURVEY.md 2.3)")
 
     report = {"missing": list(m.missing), "unconsumed": sorted(m.sd.keys())}
     if base == "main":

@@ -567,3 +567,224 @@ def test_ported_maze3_forward_parity():
     np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out["scores"]), ref[:, 1],
                                atol=1e-3 * scale)
+
+
+# ---- maze6 family + maze3_fmsl ---------------------------------------------------
+
+class TW2V2Fusion(tnn.Module):
+    """Multi-level extractor (maze6.py:103-165): concat selected hidden states.
+    Indices clip to the tiny arch's depth the same way the flax side does."""
+
+    def __init__(self, layers=(0, 6, 12, 18, 24)):
+        super().__init__()
+        self.model = _tiny_hf_w2v2()
+        self.layers = layers
+
+    def forward(self, x):
+        x = (x - x.mean(dim=1, keepdim=True)) / torch.sqrt(
+            x.var(dim=1, keepdim=True, unbiased=False) + 1e-7)
+        hs = self.model(x, output_hidden_states=True).hidden_states
+        taps = [hs[min(i, len(hs) - 1)] for i in self.layers]
+        return torch.cat(taps, dim=-1).permute(0, 2, 1)
+
+
+class TASP(tnn.Module):
+    """maze6.py:167-180 AttentiveStatisticsPooling."""
+
+    def __init__(self, c, hidden=128):
+        super().__init__()
+        self.attention_mlp = tnn.Sequential(tnn.Linear(c, hidden), tnn.Tanh(),
+                                            tnn.Linear(hidden, 1))
+
+    def forward(self, x):                                # (B, C, T)
+        h = x.permute(0, 2, 1)
+        w = tF.softmax(self.attention_mlp(h), dim=1)
+        mean = (h * w).sum(dim=1)
+        std = torch.sqrt((((h - mean.unsqueeze(1)) ** 2) * w).sum(dim=1) + 1e-6)
+        return torch.cat([mean, std], dim=1)
+
+
+class TPlainBlock(tnn.Module):
+    """maze3/6_fmsl_standardized.py:48-94: bias-free convs, conv stride,
+    pre-activation feeds both branches, 'shortcut' skip."""
+
+    def __init__(self, cin, cout, first=False, stride=1, p=0.3):
+        super().__init__()
+        self.first = first
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1, bias=False)
+        self.shortcut = (tnn.Conv1d(cin, cout, 1, stride, bias=False)
+                         if stride != 1 or cin != cout else tnn.Identity())
+        self.dropout = tnn.Dropout(p)
+
+    def forward(self, x):
+        if not self.first:
+            x = tF.relu(self.bn1(x))
+        h = tF.relu(self.bn2(self.conv1(x)))
+        h = self.dropout(self.conv2(h))
+        return h + self.shortcut(x)
+
+
+class TMaze6(tnn.Module):
+    """maze6.py:182-267 (2 transformer layers for the test)."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Fusion()
+        self.feature_projection = tnn.Conv1d(64 * 5, 1024, 1)
+        self.first_bn = tnn.BatchNorm1d(1024)
+        self.block0 = TRes(1024, 128, first=True)
+        self.se0 = TSE(128)
+        plan = [(128, 128), (128, 128), (128, 128), (128, 256)]
+        self.res_blocks = tnn.ModuleList(TRes(a, b, stride=2) for a, b in plan)
+        self.se_blocks = tnn.ModuleList(TSE(b) for _, b in plan)
+        self.bn_before_transformer = tnn.BatchNorm1d(256)
+        layer = tnn.TransformerEncoderLayer(256, 8, 2048, 0.1, "relu",
+                                            batch_first=True)
+        self.transformer_encoder = tnn.TransformerEncoder(layer, 2)
+        self.attentive_pooling = TASP(256)
+        self.fc1 = tnn.Linear(512, 1024)
+        self.fc2 = tnn.Linear(1024, 2)
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        h = tF.relu(self.first_bn(h))
+        h = self.se0(self.block0(h))
+        for blk, se in zip(self.res_blocks, self.se_blocks):
+            h = se(blk(h))
+        h = self.bn_before_transformer(h).permute(0, 2, 1)
+        h = self.transformer_encoder(h).permute(0, 2, 1)
+        h = self.attentive_pooling(h)
+        return self.fc2(self.fc1(h))                     # raw logits
+
+
+class TMaze6FMSL(tnn.Module):
+    """maze6_fmsl_standardized.py:213-382 (drift: 8 prototypes, s=5.0)."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Fusion()
+        self.feature_projection = tnn.Conv1d(64 * 5, 128, 1)
+        self.first_bn = tnn.BatchNorm1d(128)
+        self.block0 = TPlainBlock(128, 128, first=True)
+        self.se0 = TSE(128)
+        self.res_blocks = tnn.ModuleList([TPlainBlock(128, 128, stride=2),
+                                          TPlainBlock(128, 256, stride=2)])
+        self.se_blocks = tnn.ModuleList([TSE(128), TSE(256)])
+        self.attentive_pooling = TASP(256)
+        self.fmsl_system = TFMSL(512, n_proto=8)
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        h = tF.selu(self.first_bn(h))
+        h = self.se0(self.block0(h))
+        for blk, se in zip(self.res_blocks, self.se_blocks):
+            h = se(blk(h))
+        h = self.attentive_pooling(h)
+        emb = self.fmsl_system(h)
+        w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
+        return 5.0 * (emb @ w.T)
+
+
+class TCustomTransformer(tnn.Module):
+    """maze3_fmsl_standardized.py:98-137 custom encoder."""
+
+    def __init__(self, input_dim=256, hidden=512, layers=2, heads=8):
+        super().__init__()
+        self.input_projection = tnn.Linear(input_dim, hidden)
+        self.positional_encoding = tnn.Parameter(torch.randn(1, 1000, hidden))
+        layer = tnn.TransformerEncoderLayer(hidden, heads, hidden * 4, 0.1,
+                                            "relu", batch_first=True)
+        self.transformer = tnn.TransformerEncoder(layer, layers)
+        self.output_projection = tnn.Linear(hidden, input_dim)
+
+    def forward(self, x):                                # (B, C, T)
+        h = self.input_projection(x.transpose(1, 2))
+        h = h + self.positional_encoding[:, : h.size(1), :]
+        h = self.output_projection(self.transformer(h))
+        return h.transpose(1, 2)
+
+
+class TMaze3FMSL(tnn.Module):
+    """maze3_fmsl_standardized.py:139-256 (blocks carry no SE)."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Wrap()
+        self.feature_projection = tnn.Conv1d(64, 128, 1)
+        self.blocks = tnn.ModuleList([TPlainBlock(128, 128, first=True),
+                                      TPlainBlock(128, 128)])
+        self.final_block = TPlainBlock(128, 256)
+        self.transformer = TCustomTransformer(256, 512, 2, 8)
+        self.fmsl_system = TFMSL(256)
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        for b in self.blocks:
+            h = b(h)
+        h = self.transformer(self.final_block(h))
+        h = h.mean(dim=2)
+        emb = self.fmsl_system(h)
+        w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
+        return 32.0 * (emb @ w.T)
+
+
+def test_ported_maze6_forward_parity():
+    import dataclasses
+
+    from adfmsl.models.mazes import SPECS
+
+    rng = np.random.default_rng(8)
+    torch.manual_seed(8)
+    tmodel = TMaze6().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    spec2 = dataclasses.replace(SPECS["maze6"], transformer=(256, 8, 2, 2048))
+    out = _port_w2v2_model(tmodel, "maze6", x, spec_override=spec2)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref[:, 1],
+                               atol=1e-3 * scale)
+
+
+def test_ported_maze6_fmsl_forward_parity():
+    rng = np.random.default_rng(9)
+    torch.manual_seed(9)
+    tmodel = TMaze6FMSL().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = _port_w2v2_model(tmodel, "maze6_fmsl", x)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_ported_maze3_fmsl_forward_parity():
+    import dataclasses
+
+    from adfmsl.models.mazes import SPECS
+
+    rng = np.random.default_rng(10)
+    torch.manual_seed(10)
+    tmodel = TMaze3FMSL().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    spec2 = dataclasses.replace(SPECS["maze3_fmsl"],
+                                transformer=(512, 8, 2, 2048))
+    out = _port_w2v2_model(tmodel, "maze3_fmsl", x, spec_override=spec2)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
