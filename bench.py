@@ -28,7 +28,8 @@ import time
 
 import numpy as np
 
-BATCH = 128
+BATCH = 256          # batch sweep on v5e: 128 -> 50k, 256 -> 61k, 512 -> 65k utt/s;
+                     # 256 balances throughput vs compile/memory
 CUT = 64600          # 4 s @ 16 kHz
 N_ITERS = 64
 TRAIN_ITERS = 16
