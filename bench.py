@@ -243,18 +243,29 @@ def cpu_reference_rate() -> float:
     return CPU_BATCH * CPU_BATCHES / dt
 
 
+def _try(fn, default=None):
+    """Secondary measurements must never kill the driver's ONE-line contract."""
+    try:
+        return fn()
+    except Exception as e:  # pragma: no cover
+        import sys
+
+        print(f"bench section {fn} failed: {e!r}", file=sys.stderr)
+        return default
+
+
 def main():
-    eval_rate, mfu = tpu_eval_rate()
-    train_rate = tpu_train_rate()
-    fused_speedup = sinc_frontend_speedup()
-    cpu = cpu_reference_rate()
+    eval_rate, mfu = tpu_eval_rate()       # headline: fail loudly if this breaks
+    train_rate = _try(tpu_train_rate)
+    fused_speedup = _try(sinc_frontend_speedup)
+    cpu = _try(cpu_reference_rate)
     print(json.dumps({
         "metric": "utterances/sec/chip (fused LFCC+LCNN1D eval, 4s clips)",
         "value": round(eval_rate, 2),
         "unit": "utt/s/chip",
-        "vs_baseline": round(eval_rate / cpu, 2),
-        "train_utt_s_chip": round(train_rate, 2),
-        "cpu_ref_utt_s": round(cpu, 2),
+        "vs_baseline": round(eval_rate / cpu, 2) if cpu else None,
+        "train_utt_s_chip": round(train_rate, 2) if train_rate else None,
+        "cpu_ref_utt_s": round(cpu, 2) if cpu else None,
         "cpu_batches": CPU_BATCHES * CPU_BATCH,
         "mfu_pct_est": round(mfu, 2) if mfu is not None else None,
         "sinc_fused_frontend_speedup": (round(fused_speedup, 2)

@@ -1,0 +1,111 @@
+"""Per-model TPU throughput survey (NOT run by the driver — bench.py is the
+one-line contract; this records the maze-zoo numbers for docs/PERF.md).
+
+Usage: python bench_models.py [model ...]   (default: maze5 main maze7)
+Prints one JSON line per model: eval and train utt/s/chip on 4 s clips.
+First compile of a maze model on TPU takes minutes; the persistent XLA cache
+(adfmsl/__init__) makes reruns instant.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+CUT = 64600
+N_EVAL = 16
+N_TRAIN = 8
+
+
+def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adfmsl.config import make_experiment
+    from adfmsl.heads.losses import compute_loss
+    from adfmsl.models import build_model
+
+    exp = make_experiment(name)
+    # w2v2 models run the FULL architecture at random init (throughput is
+    # weight-independent; no local checkpoint needed)
+    if name in ("main", "main_fmsl"):
+        exp.model.extra["fused_eval_frontend"] = True
+    model = build_model(exp.model)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    x = jnp.asarray(rng.standard_normal((batch_eval, CUT)).astype(np.float32))
+    variables = model.init({"params": key}, x, train=False)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def fwd_many(v, x, n):
+        def body(carry, _):
+            out = model.apply(v, x + carry * 1e-30, train=False)["scores"]
+            return out[0].astype(jnp.float32), out.sum()
+        carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry + sums.sum()
+
+    float(fwd_many(variables, x, N_EVAL))
+    t0 = time.perf_counter()
+    float(fwd_many(variables, x, N_EVAL))
+    eval_rate = batch_eval * N_EVAL / (time.perf_counter() - t0)
+
+    xt = jnp.asarray(rng.standard_normal((batch_train, CUT)).astype(np.float32))
+    labels = jnp.asarray(np.arange(batch_train) % 2, dtype=jnp.int32)
+    vt = model.init({"params": key}, xt, train=False)
+    tx = optax.adam(1e-4)
+    rngs = {"dropout": key, "specaugment": jax.random.PRNGKey(1),
+            "lsa": jax.random.PRNGKey(2)}
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def train_many(carry0, n):
+        def loss_fn(p, bstats, xb):
+            out, mut = model.apply({"params": p, "batch_stats": bstats}, xb,
+                                   labels=labels, train=True, rngs=rngs,
+                                   mutable=["batch_stats"])
+            loss = out.get("loss")
+            if loss is None:
+                loss = compute_loss("weighted_ce", out["logits"], labels,
+                                    class_weights=[0.3, 0.7])
+            return loss, mut.get("batch_stats", bstats)
+
+        def body(carry, _):
+            p, bstats, opt, last = carry
+            (loss, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bstats, xt + last * 1e-30)
+            updates, nopt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), nbs, nopt, loss), loss
+        carry, losses = jax.lax.scan(body, carry0, None, length=n)
+        return losses.sum()
+
+    carry0 = (vt["params"], vt.get("batch_stats", {}), tx.init(vt["params"]),
+              jnp.float32(0.0))
+    float(train_many(carry0, N_TRAIN))
+    t0 = time.perf_counter()
+    float(train_many(carry0, N_TRAIN))
+    train_rate = batch_train * N_TRAIN / (time.perf_counter() - t0)
+    return eval_rate, train_rate
+
+
+def build_needs_w2v2(name: str) -> bool:
+    from adfmsl.models.mazes import SPECS
+
+    return name in SPECS and SPECS[name].frontend == "w2v2"
+
+
+def main():
+    models = sys.argv[1:] or ["maze5", "main", "maze7"]
+    for name in models:
+        ev, tr = bench_model(name)
+        print(json.dumps({"model": name, "eval_utt_s_chip": round(ev, 1),
+                          "train_utt_s_chip": round(tr, 1),
+                          "note": ("full arch, random-init w2v2 backbone" if
+                                   build_needs_w2v2(name) else "full size")}))
+
+
+if __name__ == "__main__":
+    main()
