@@ -146,3 +146,11 @@ def test_graft_dryrun_multichip_w2v2_model():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8, exp_name="maze6_fmsl", cut=4000, per_dev=1)
+
+
+def test_graft_dryrun_multichip_dp_tp():
+    """DP x TP composition: 4-way data parallel x 2-way Megatron TP over the
+    w2v2 encoder (parallel/tp.py), one full train step on the virtual mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, exp_name="maze7_fmsl", cut=4000, per_dev=1, tp=2)
