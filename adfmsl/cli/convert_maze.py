@@ -21,6 +21,8 @@ def build_parser():
                    help="registry name (maze4, maze5, maze4_fmsl, maze5_fmsl)")
     p.add_argument("--out", required=True, help="output checkpoint directory")
     p.add_argument("--no_drift", action="store_true")
+    p.add_argument("--cut", type=int, default=64600,
+                   help="clip length stored in the emitted experiment.yaml")
     return p
 
 
@@ -42,6 +44,7 @@ def main(argv=None) -> int:
     from adfmsl.train.checkpoint import CheckpointManager
 
     exp = reference_parity_experiment(args.model_type, drift=not args.no_drift)
+    exp.data.cut = args.cut
     sd = load_torch_state_dict(args.torch_ckpt)
     ported_params, ported_stats, report = port_maze_state_dict(sd, args.model_type)
     if report.get("gru_layers"):

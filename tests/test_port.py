@@ -4,6 +4,7 @@ maze5_fmsl_standardized.py:214-332) is random-initialised, ported via
 adfmsl.models.port, and the Flax forward must match the torch forward within f32
 tolerance — the same methodology as test_w2v2.py."""
 import math
+import os
 
 import numpy as np
 import pytest
@@ -788,3 +789,48 @@ def test_ported_maze3_fmsl_forward_parity():
     scale = max(float(np.abs(ref).max()), 1.0)
     np.testing.assert_allclose(np.asarray(out["logits"]), ref,
                                atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_convert_maze_cli_end_to_end(tmp_path):
+    """Product path: torch .pth -> adfmsl-convert-maze -> adfmsl-eval restores
+    the checkpoint (+ its reference-parity experiment.yaml) and scores a
+    synthetic eval split with the exact utterance count."""
+    from adfmsl.cli.convert_maze import main as convert_main
+    from adfmsl.cli.evaluate import main as eval_main
+    from adfmsl.data.synthetic import SyntheticSpec, generate_fixture
+
+    torch.manual_seed(11)
+    tmodel = TMaze5().eval()
+    pth = str(tmp_path / "maze5.pth")
+    torch.save(tmodel.state_dict(), pth)
+    ckpt_dir = str(tmp_path / "ported")
+    rc = convert_main(["--torch_ckpt", pth, "--model_type", "maze5",
+                       "--out", ckpt_dir, "--cut", str(CUT)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(ckpt_dir, "experiment.yaml"))
+
+    info = generate_fixture(str(tmp_path / "fix"),
+                            SyntheticSpec(n_train=4, n_dev=2, n_eval=6,
+                                          duration=0.3))
+    score_path = str(tmp_path / "scores.txt")
+    rc = eval_main(["--model_type", "maze5", "--model_path", ckpt_dir,
+                    "--protocol", info["eval"]["protocol"],
+                    "--data_dir", info["eval"]["audio_dir"],
+                    "--batch_size", "4", "--output", score_path])
+    assert rc == 0
+    lines = open(score_path).read().strip().splitlines()
+    assert len(lines) == 6
+    scores = {l.split()[0]: float(l.split()[1]) for l in lines}
+    assert all(np.isfinite(v) for v in scores.values())
+
+    # restored scores match the torch model directly on the same audio
+    from adfmsl.data import parse_protocol
+    from adfmsl.data.pipeline import AsvspoofDataset
+
+    proto = parse_protocol(info["eval"]["protocol"])
+    ds = AsvspoofDataset(proto, info["eval"]["audio_dir"], cut=CUT)
+    audio = np.stack([ds.load(u)[0] for u in proto.utt_ids])
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(audio)).numpy()[:, 1]
+    got = np.asarray([scores[u] for u in proto.utt_ids])
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
