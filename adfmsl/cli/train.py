@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture an XLA profiler trace of the first epoch here")
     p.add_argument("--log_dir", default=None,
                    help="JSONL scalar metrics directory (tensorboardX analog)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard training batches over N devices "
+                        "(0/1 = single device)")
     return p
 
 
@@ -100,9 +103,21 @@ def main(argv=None) -> int:
                               "train/acc": em.train_acc,
                               "dev/acc": em.dev_acc}, em.epoch)
 
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from adfmsl.config import MeshConfig
+        from adfmsl.parallel import make_mesh
+
+        mesh = make_mesh(MeshConfig(data_parallel=args.data_parallel),
+                         devices=jax.devices()[: args.data_parallel])
+        logging.info("data-parallel training over %d devices",
+                     args.data_parallel)
+
     trainer = Trainer(exp, train_loader, dev_loader,
                       checkpoint_dir=args.checkpoint_dir,
-                      metric_hook=metric_hook)
+                      metric_hook=metric_hook, mesh=mesh)
     if args.restore and args.checkpoint_dir:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)
         logging.info("restored checkpoint epoch %d", epoch)

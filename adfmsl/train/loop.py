@@ -46,11 +46,15 @@ class Trainer:
                  dev_loader: Optional[DataLoader] = None,
                  checkpoint_dir: Optional[str] = None,
                  metric_hook: Optional[Callable[[EpochMetrics], None]] = None,
-                 noise_bank=None, rir_bank=None):
+                 noise_bank=None, rir_bank=None, mesh=None):
         self.exp = exp
         self.train_loader = train_loader
         self.dev_loader = dev_loader
         self.metric_hook = metric_hook
+        # data-parallel training: batches shard over the mesh's data axis,
+        # params/opt state replicate, XLA inserts the psums over ICI
+        # (SURVEY.md 2.9 — net-new vs the single-device reference)
+        self.mesh = mesh
         self.root_key = set_global_seed(exp.train.seed)
 
         self.model = build_model(exp.model)
@@ -70,6 +74,13 @@ class Trainer:
             params=variables["params"],
             batch_stats=variables.get("batch_stats"),
             tx=tx)
+        if mesh is not None:
+            from adfmsl.parallel import replicate
+
+            self.state = self.state.replace(
+                params=replicate(mesh, self.state.params),
+                batch_stats=replicate(mesh, self.state.batch_stats),
+                opt_state=replicate(mesh, self.state.opt_state))
         self.train_step = make_train_step(exp, noise_bank=noise_bank,
                                           rir_bank=rir_bank)
         self.eval_step = make_eval_step(exp)
@@ -92,6 +103,25 @@ class Trainer:
 
         self.timer = StepTimer()
 
+    def _place(self, batch):
+        """Host batch -> device arrays (mesh: padded to the data-axis multiple
+        and dim-0-sharded; padding rows carry mask=False)."""
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return (jax.numpy.asarray(batch.audio), jnp.asarray(batch.label),
+                    jnp.asarray(batch.mask))
+        from adfmsl.parallel import pad_batch_to_devices, shard_batch
+
+        n = self.mesh.devices.shape[0]
+        a, l, m = pad_batch_to_devices(batch.audio, batch.label, batch.mask, n)
+        return shard_batch(self.mesh, (a, l, m))
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         # Metrics accumulate ON DEVICE and are drained to the host only every
         # log_every_steps (one ~28 ms sync per drain on the tunneled backend —
@@ -111,10 +141,10 @@ class Trainer:
             rng = key_for_step(self.root_key, "dropout",
                                epoch * 100000 + i)
             with self.timer.phase("train_step"):
-                self.state, m = self.train_step(
-                    self.state, jax.numpy.asarray(batch.audio),
-                    jax.numpy.asarray(batch.label),
-                    jax.numpy.asarray(batch.mask), rng)
+                audio, label, mask = self._place(batch)
+                with self._mesh_ctx():
+                    self.state, m = self.train_step(self.state, audio, label,
+                                                    mask, rng)
             if loss_sum is None:
                 loss_sum, acc_sum, skip_sum = m["loss"], m["acc"], m["skipped"]
             else:
@@ -146,9 +176,9 @@ class Trainer:
         correct, count = 0.0, 0.0
         scores, labels = [], []
         for batch in loader:
-            out = self.eval_step(self.state, jax.numpy.asarray(batch.audio),
-                                 jax.numpy.asarray(batch.label),
-                                 jax.numpy.asarray(batch.mask))
+            audio, label, mask = self._place(batch)
+            with self._mesh_ctx():
+                out = self.eval_step(self.state, audio, label, mask)
             correct += float(out["correct"])
             count += float(out["count"])
             s = np.asarray(out["scores"])

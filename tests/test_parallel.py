@@ -154,3 +154,34 @@ def test_graft_dryrun_multichip_dp_tp():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8, exp_name="maze7_fmsl", cut=4000, per_dev=1, tp=2)
+
+
+def test_trainer_mesh_data_parallel_matches_single_device(fixture_dir):
+    """Trainer(mesh=...) trains data-parallel over 8 devices and reaches the
+    same losses/metrics as the single-device Trainer (same seed, same data)."""
+    from adfmsl.data import parse_protocol
+    from adfmsl.train import Trainer, make_dataset_and_loader
+
+    def run(mesh):
+        exp = make_experiment("maze5")
+        exp.data.cut = 4000
+        exp.train.batch_size = 8
+        exp.train.num_epochs = 2
+        exp.model.spec_augment.enabled = False
+        proto = parse_protocol(fixture_dir["train"]["protocol"])
+        loader = make_dataset_and_loader(exp, proto,
+                                         fixture_dir["train"]["audio_dir"],
+                                         shuffle=True)
+        dev = make_dataset_and_loader(exp, proto,
+                                      fixture_dir["train"]["audio_dir"],
+                                      shuffle=False, batch_size=6,
+                                      drop_last=False)   # non-divisible batch
+        tr = Trainer(exp, loader, dev, mesh=mesh)
+        return tr.fit()
+
+    h1 = run(None)
+    h8 = run(make_mesh(MeshConfig()))
+    for a, b in zip(h1, h8):
+        assert a.train_loss == pytest.approx(b.train_loss, rel=1e-3)
+        assert a.dev_acc == pytest.approx(b.dev_acc, abs=1e-6)
+        assert a.dev_eer == pytest.approx(b.dev_eer, abs=1e-6)
