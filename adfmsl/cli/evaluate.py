@@ -30,6 +30,8 @@ def build_parser():
                    help="disable the Pallas fused sinc front end (rawnet models)")
     p.add_argument("--smoke_test", action="store_true",
                    help="synthetic forward-pass check before evaluation")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard eval batches over N devices (0/1 = single)")
     return p
 
 
@@ -86,10 +88,23 @@ def main(argv=None) -> int:
         logging.info("restored %s epoch %d", args.model_path, epoch)
     if args.smoke_test and not smoke_test(trainer):
         return 1
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from adfmsl.config import MeshConfig
+        from adfmsl.parallel import make_mesh, replicate
+
+        mesh = make_mesh(MeshConfig(data_parallel=args.data_parallel),
+                         devices=jax.devices()[: args.data_parallel])
+        trainer.state = trainer.state.replace(
+            params=replicate(mesh, trainer.state.params),
+            batch_stats=replicate(mesh, trainer.state.batch_stats),
+            opt_state=replicate(mesh, trainer.state.opt_state))
     out_path = args.output or f"{args.model_type}_scores.txt"
     res = evaluate_to_file(trainer.state, loader, out_path,
                            labels=proto.labels or None,
-                           eval_step=trainer.eval_step)
+                           eval_step=trainer.eval_step, mesh=mesh)
     if res.metrics:
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in res.metrics.items()})
