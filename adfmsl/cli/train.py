@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard training batches over N devices "
                         "(0/1 = single device)")
+    p.add_argument("--train_pack", default=None,
+                   help="packed-array prefix (adfmsl-pack) replacing the train "
+                        "audio dir — zero decode per epoch")
+    p.add_argument("--dev_pack", default=None)
     return p
 
 
@@ -83,10 +87,27 @@ def main(argv=None) -> int:
     dev_proto_path = args.dev_protocol or _default_paths(args, "dev", "trl")[0]
     dev_dir = args.dev_dir or _default_paths(args, "dev", "trl")[1]
 
+    from adfmsl.data import DataLoader, PackedDataset
+
     train_proto = parse_protocol(train_proto_path, exp.data.label_polarity)
-    train_loader = make_dataset_and_loader(exp, train_proto, train_dir, shuffle=True)
+    if args.train_pack:
+        packed = PackedDataset(args.train_pack, train_proto)
+        if packed.cut != exp.data.cut:
+            logging.info("clip length from pack: %d", packed.cut)
+            exp.data.cut = packed.cut
+        train_loader = DataLoader(packed, exp.train.batch_size, shuffle=True,
+                                  drop_last=True, seed=exp.train.seed,
+                                  prefetch=exp.data.prefetch)
+    else:
+        train_loader = make_dataset_and_loader(exp, train_proto, train_dir,
+                                               shuffle=True)
     dev_loader = None
-    if os.path.exists(dev_proto_path):
+    if args.dev_pack:
+        dev_proto = parse_protocol(dev_proto_path, exp.data.label_polarity)
+        dev_loader = DataLoader(PackedDataset(args.dev_pack, dev_proto),
+                                exp.train.eval_batch_size, shuffle=False,
+                                drop_last=False, prefetch=exp.data.prefetch)
+    elif os.path.exists(dev_proto_path):
         dev_proto = parse_protocol(dev_proto_path, exp.data.label_polarity)
         dev_loader = make_dataset_and_loader(exp, dev_proto, dev_dir, shuffle=False,
                                              batch_size=exp.train.eval_batch_size,

@@ -12,6 +12,7 @@ from adfmsl.data.preprocess import (
     trim_silence,
     validate_dataset,
 )
+from adfmsl.data.pack import PackedDataset, create_pack
 from adfmsl.data.pad import pad, tile_pad, tile_pad_device, zero_pad, zero_pad_device
 from adfmsl.data.pipeline import (
     AsvspoofDataset,
@@ -29,6 +30,7 @@ __all__ = [
     "AsvspoofDataset", "Batch", "DataLoader", "FuzzyAudioResolver", "resolve_audio_path",
     "Protocol", "ProtocolEntry", "gen_spoof_list", "parse_protocol",
     "SyntheticSpec", "generate_fixture",
+    "PackedDataset", "create_pack",
     "add_noise_snr", "augment_waveform", "rir_reverb", "synthetic_rir",
     "create_dataset_manifest", "explore_data_structure", "preprocess_audio", "trim_silence", "validate_dataset",
 ]
