@@ -60,11 +60,14 @@ class ResBlockSE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.semantics == "fmsl_plain":
+        if self.semantics in ("fmsl_plain", "fmsl_se"):
             # maze3/6_fmsl_standardized.py:48-94 variant: bias-free convs,
             # conv-stride downsampling (torch pad=1), the pre-activation feeds
             # BOTH branches, dropout after conv2, no pool; SE (when present in
-            # the wrapper) applies after the residual add.
+            # the wrapper) applies after the residual add. 'fmsl_se' is
+            # maze2_fmsl_standardized.py:50-92's twist on the same block: the
+            # SEBlock lives INSIDE the block and gates the conv branch BEFORE
+            # the residual add.
             h = x
             if not self.first:
                 h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -80,13 +83,15 @@ class ResBlockSE(nn.Module):
             h = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
                         use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            if self.use_se and self.semantics == "fmsl_se":
+                h = SEBlock(self.out_channels, name="se")(h)
             skip = pre
             if self.stride != 1 or self.in_channels != self.out_channels:
                 skip = nn.Conv(self.out_channels, (1,), strides=(self.stride,),
                                use_bias=False, dtype=self.dtype,
                                name="downsample")(pre)
             out = h + skip
-            if self.use_se:
+            if self.use_se and self.semantics == "fmsl_plain":
                 out = SEBlock(self.out_channels, name="se")(out)
             return out
 

@@ -264,7 +264,7 @@ SPECS = {
 _FMSL_DIMS = {
     # fmsl head input dims per reference wiring (SURVEY.md 2.4)
     "main": 1024,     # fc1_gru output (main_fmsl_standardized.py:160)
-    "maze2": 512,     # lazy Linear->512 (maze2_fmsl_standardized.py:466-470)
+    "maze2": 256,     # checkpoint dim; overridden spec below documents the fix
     "maze3": 256,     # maze3_fmsl_standardized.py:139-256
     "maze4": 256,     # maze4_fmsl_standardized.py:216-347 (pooled trunk dim)
     "maze5": 256,     # unused: refine mode takes fc1's dim (maze5_fmsl_standardized.py:297-336)
@@ -294,7 +294,13 @@ SPECS["maze2_fmsl"] = MazeSpec(
     "maze2_fmsl", "w2v2", ref="maze2_fmsl_standardized.py:394-487",
     proj_dim=128, first_bn_act="selu",
     blocks=((128, 128, 1), (128, 128, 2), (128, 256, 1)),
-    fc1=1024, score="logit", fmsl_input_dim=512)
+    # FMSL at the pooled trunk dim, per the reference's stated checkpoint
+    # contract ("Use 256 dimensions to match checkpoint", :427-434). The file's
+    # forward instead lazily creates a Linear(256,512) whose output feeds the
+    # 256-d FMSL projection — an unconditional shape crash (:466-470, SURVEY.md
+    # 2.3); the fixed semantics drop that dead projection.
+    fc1=1024, score="logit", fmsl_input_dim=256,
+    block_variant="fmsl_se")   # :50-92 block: internal SE, pre-add
 SPECS["maze3_fmsl"] = MazeSpec(
     "maze3_fmsl", "w2v2", ref="maze3_fmsl_standardized.py:139-256",
     proj_dim=128,

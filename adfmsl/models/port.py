@@ -16,6 +16,12 @@ Covered families:
   incl. stacked torch nn.GRU -> flax GRUCell gate unpacking)
 - Wav2Vec2 backbones port via models/pretrained.py (w2v2-trunk maze models reuse
   the trunk/head mappings).
+- maze2_fmsl ports under FIXED head semantics (see its branch below): its
+  reference forward crashes unconditionally on the lazy-projection shape bug
+  (maze2_fmsl_standardized.py:466-470), so the porter implements the file's
+  stated checkpoint contract (FMSL at the pooled 256-d trunk dim).
+
+All 16 reference models are covered.
 
 Layout conventions: torch Conv1d (out, in, k) -> flax (k, in, out); torch Linear
 (out, in) -> flax kernel (in, out); torch BatchNorm1d weight/bias/running_mean/
@@ -456,6 +462,29 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             "kernel": np.eye(d, dtype=np.float32),
             "bias": np.zeros(d, dtype=np.float32),
         }
+    elif model_name == "maze2_fmsl":
+        # maze2_fmsl_standardized.py:394-487 under FIXED semantics. The
+        # reference forward cannot run: pooled 256-d features pass through a
+        # lazily-created Linear(256,512) into an FMSL system built with
+        # input_dim=256 (:427-434 "Use 256 dimensions to match checkpoint" vs
+        # :466-470) — an unconditional shape crash, so the lazy projection is
+        # dead weight in any checkpoint. Port the checkpoint-compatible intent:
+        # pooled 256 feeds the FMSL system directly (fmsl_projection identity).
+        m.w2v2_backbone("", arch=w2v2_arch)
+        m.conv("feature_projection", "proj")
+        m.bn("first_bn", "first_bn")
+        for i in range(3):   # :417-420 blocks: bias-free convs, internal SE
+            m.res_block_plain(f"block{i}", "trunk", f"block{i}", first=(i == 0))
+            if any(k.startswith(f"block{i}.se.") for k in m.sd):
+                m.se(f"block{i}.se", "trunk", f"block{i}", "se")
+        m.sd.pop("fmsl_projection.weight", None)   # the dead lazy Linear
+        m.sd.pop("fmsl_projection.bias", None)
+        m.fmsl("fmsl_system", "fmsl")
+        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
+        m.params["fmsl_projection"] = {
+            "kernel": np.eye(d, dtype=np.float32),
+            "bias": np.zeros(d, dtype=np.float32),
+        }
     elif model_name == "maze3":
         # maze3.py:101-164: projection, three maze3-variant blocks (internal SE,
         # 'shortcut' skip), MLP classifier with ReLU
@@ -468,10 +497,10 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         m.dense("classifier.3", "fc2")
     else:
         raise ValueError(
-            f"no torch->flax mapping for {model_name!r} (supported: every model "
-            f"except maze2_fmsl, whose reference forward crashes on its own "
-            f"FMSL input-dim bug — maze2_fmsl_standardized.py:466-470, "
-            f"SURVEY.md 2.3)")
+            f"no torch->flax mapping for {model_name!r} (all 16 reference "
+            f"models are supported; maze2_fmsl ports under fixed semantics — "
+            f"its reference forward crashes on its own FMSL input-dim bug, "
+            f"maze2_fmsl_standardized.py:466-470, SURVEY.md 2.3)")
 
     report = {"missing": list(m.missing), "unconsumed": sorted(m.sd.keys())}
     if base == "main":

@@ -690,6 +690,57 @@ class TMaze6FMSL(tnn.Module):
         return 5.0 * (emb @ w.T)
 
 
+class TM2Block(tnn.Module):
+    """maze2_fmsl_standardized.py:50-92: the TPlainBlock layout but with the
+    SEBlock INSIDE the block, gating the conv branch BEFORE the residual add."""
+
+    def __init__(self, cin, cout, first=False, stride=1, p=0.3):
+        super().__init__()
+        self.first = first
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1, bias=False)
+        self.se = TSE(cout)
+        self.shortcut = (tnn.Conv1d(cin, cout, 1, stride, bias=False)
+                         if stride != 1 or cin != cout else tnn.Identity())
+        self.dropout = tnn.Dropout(p)
+
+    def forward(self, x):
+        if not self.first:
+            x = tF.relu(self.bn1(x))
+        h = tF.relu(self.bn2(self.conv1(x)))
+        h = self.se(self.dropout(self.conv2(h)))
+        return h + self.shortcut(x)
+
+
+class TMaze2FMSL(tnn.Module):
+    """maze2_fmsl_standardized.py:394-487 under the FIXED head semantics the
+    port targets: the pooled 256-d trunk feeds the FMSL system directly. The
+    reference forward instead lazily creates a Linear(256,512) whose output
+    hits the 256-d FMSL projection — an unconditional shape crash (:466-470),
+    so no live checkpoint can carry that layer."""
+
+    def __init__(self):
+        super().__init__()
+        self.wav2vec2_extractor = TW2V2Wrap()
+        self.feature_projection = tnn.Conv1d(64, 128, 1)
+        self.first_bn = tnn.BatchNorm1d(128)
+        self.block0 = TM2Block(128, 128, first=True)
+        self.block1 = TM2Block(128, 128, stride=2)
+        self.block2 = TM2Block(128, 256)
+        self.fmsl_system = TFMSL(256, n_proto=3)
+
+    def forward(self, x):
+        h = self.feature_projection(self.wav2vec2_extractor(x))
+        h = tF.selu(self.first_bn(h))
+        h = self.block2(self.block1(self.block0(h)))
+        emb = self.fmsl_system(h.mean(dim=2))
+        w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
+        return 32.0 * (emb @ w.T)   # canonical s (maze2_fmsl has no drift)
+
+
 class TCustomTransformer(tnn.Module):
     """maze3_fmsl_standardized.py:98-137 custom encoder."""
 
@@ -786,6 +837,21 @@ def test_ported_maze3_fmsl_forward_parity():
     spec2 = dataclasses.replace(SPECS["maze3_fmsl"],
                                 transformer=(512, 8, 2, 2048))
     out = _port_w2v2_model(tmodel, "maze3_fmsl", x, spec_override=spec2)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_ported_maze2_fmsl_forward_parity():
+    rng = np.random.default_rng(11)
+    torch.manual_seed(11)
+    tmodel = TMaze2FMSL().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = _port_w2v2_model(tmodel, "maze2_fmsl", x)
     scale = max(float(np.abs(ref).max()), 1.0)
     np.testing.assert_allclose(np.asarray(out["logits"]), ref,
                                atol=1e-3 * scale, rtol=1e-3)
