@@ -28,8 +28,10 @@ import time
 
 import numpy as np
 
-BATCH = 256          # batch sweep on v5e: 128 -> 50k, 256 -> 61k, 512 -> 65k utt/s;
-                     # 256 balances throughput vs compile/memory
+BATCH = 384          # batch sweep on v5e at DFT 'high': 256 -> 93k, 320 -> 80k,
+                     # 384 -> 100k, 448 -> 85k, 512 -> 94k, 640 -> 95k utt/s
+                     # (stable across repeats); train also peaks at 384 (62.5k
+                     # vs 57k at 256)
 CUT = 64600          # 4 s @ 16 kHz
 N_ITERS = 64
 TRAIN_ITERS = 16
