@@ -40,7 +40,7 @@ def am_softmax_logits(embeddings: jnp.ndarray, weight: jnp.ndarray, s: float, m:
     (fmsl_advanced.py:190-237), scaled by s."""
     cosine = embeddings @ l2_normalize(weight, axis=-1).T
     if train and labels is not None:
-        sine = jnp.sqrt(jnp.maximum(1.0 - jnp.clip(cosine**2, a_max=1.0), 0.0))
+        sine = jnp.sqrt(jnp.maximum(1.0 - jnp.clip(cosine**2, max=1.0), 0.0))
         phi = cosine * math.cos(m) - sine * math.sin(m)
         one_hot = jax.nn.one_hot(labels, cosine.shape[-1], dtype=cosine.dtype)
         cosine = one_hot * phi + (1.0 - one_hot) * cosine

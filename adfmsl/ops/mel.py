@@ -29,7 +29,10 @@ def hz_to_mel(f, htk: bool = False):
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    # maximum() keeps log() off f=0 (that branch is discarded by the where)
+    return np.where(f >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+                    mel)
 
 
 def mel_to_hz(m, htk: bool = False):

@@ -155,7 +155,7 @@ def lfcc_fused(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                # x stays in HBM
             pl.BlockSpec(w_hi.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w_lo.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fb.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),

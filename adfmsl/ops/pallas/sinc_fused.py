@@ -104,7 +104,7 @@ def sinc_abs_pool_fused(x: jnp.ndarray, filters: jnp.ndarray, c_tile: int = 128,
         functools.partial(_kernel, nj=nj, c_tile=c_tile),
         grid=(b, n_tiles, n_ct),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, nj, _BLOCK, _BLOCK * c_tile),
                          lambda b, t, ct: (ct, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
