@@ -103,6 +103,8 @@ class MazeModel(nn.Module):
                                   sinc_formula=cfg.architecture.sinc_formula,
                                   fused_eval_frontend=cfg.extra.get(
                                       "fused_eval_frontend", False),
+                                  fused_train_frontend=cfg.extra.get(
+                                      "fused_train_frontend", False),
                                   name="encoder")(x, train=train)
             pooled = feats
         else:

@@ -60,6 +60,7 @@ class RawNetEncoder(nn.Module):
     sample_rate: int = 16000
     sinc_formula: str = "textbook"
     fused_eval_frontend: bool = False   # Pallas fused sinc+|.|+pool3 at eval (TPU)
+    fused_train_frontend: bool = False  # same kernel in the train fwd (custom VJP)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,11 +68,13 @@ class RawNetEncoder(nn.Module):
         # Front end: sinc conv -> |.| -> MaxPool(3) (main_fmsl_standardized.py:101-110).
         # The epilogue lives inside SincConv (post='abs_pool3') so that with
         # fused_eval_frontend=True the whole front end runs as ONE Pallas kernel at
-        # eval time (2x the XLA composition on v5e); training stays on the
-        # differentiable XLA block-GEMM path either way.
+        # eval time (2x the XLA composition on v5e); fused_train_frontend=True
+        # runs it in the training forward pass too, via the kernel's custom VJP
+        # (backward = XLA recompute, ops/pallas/sinc_fused.py).
         h = SincConv(self.sinc_channels, self.sinc_kernel, self.sample_rate,
                      formula=self.sinc_formula, post="abs_pool3",
                      fused_eval=self.fused_eval_frontend,
+                     fused_train=self.fused_train_frontend,
                      name="sinc")(x, train=train)                                    # (B, T3, C)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
         h = nn.selu(h)

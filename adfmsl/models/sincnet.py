@@ -24,9 +24,12 @@ class SincConv(nn.Module):
                                # than XLA's 1-channel conv lowering (ops/sinc.py)
     # 'abs_pool3' fuses the RawNet front end epilogue (|.| + MaxPool3). With
     # fused_eval=True the whole front end runs as the Pallas kernel at eval time
-    # (2x the XLA composition on v5e; TPU only — training stays differentiable XLA).
+    # (2x the XLA composition on v5e; TPU only). fused_train=True additionally
+    # runs the kernel in the TRAINING forward pass via its custom VJP
+    # (Pallas forward, XLA-recompute backward — ops/pallas/sinc_fused.py).
     post: str = "none"
     fused_eval: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -36,16 +39,16 @@ class SincConv(nn.Module):
         band = self.param("band_hz", lambda _: jnp.asarray(band0))
         filt = sinc_filters(low, band, self.kernel_size, self.sample_rate,
                             self.min_low_hz, self.min_band_hz, self.formula)
-        if (self.post == "abs_pool3" and self.fused_eval and not train
-                and self.stride == 1):
+        fused = self.fused_train if train else self.fused_eval
+        if self.post == "abs_pool3" and fused and self.stride == 1:
             import jax
 
-            from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool_fused
+            from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool
 
             # Mosaic kernels only compile on TPU; everywhere else (CPU tests,
             # virtual meshes) run the same kernel in interpret mode.
             interpret = jax.default_backend() != "tpu"
-            return sinc_abs_pool_fused(x, filt, interpret=interpret)  # (B, T3, C)
+            return sinc_abs_pool(x, filt, interpret)     # (B, T3, C)
         if self.impl == "block_gemm" and self.stride == 1:
             y = sinc_conv_block_gemm(x, filt)            # (B, C, T')
         else:

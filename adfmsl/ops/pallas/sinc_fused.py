@@ -12,8 +12,15 @@ whole front end in VMEM per tile:
     write (128, C_sub) pooled tile
 
 where M_j are the block-Toeplitz matrices of ops.sinc.sinc_conv_block_gemm, held
-resident in VMEM in bf16, channel-tiled to fit. Inference/serving path: filters are
-baked per call (no custom VJP) — training uses the XLA block-GEMM path.
+resident in VMEM in bf16, channel-tiled to fit.
+
+``sinc_abs_pool`` is the trainable wrapper: the Pallas kernel runs the forward,
+and a custom VJP recomputes the front end with the XLA block-GEMM composition in
+the backward pass (rematerialisation — nothing extra is saved from the kernel)
+and differentiates that. Max-pool gradient routing therefore follows the f32
+recompute's argmax, which can differ from the kernel's bf16 max at near-ties;
+this is the usual remat-at-different-precision tradeoff and is noise-level for
+training.
 """
 from __future__ import annotations
 
@@ -120,3 +127,40 @@ def sinc_abs_pool_fused(x: jnp.ndarray, filters: jnp.ndarray, c_tile: int = 128,
         interpret=interpret,
     )(xp, m)
     return out[:, :t3, :]
+
+
+def _xla_frontend(x: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
+    """The same front end as the kernel, composed from XLA ops (differentiable):
+    max_pool(|sinc block-GEMM conv|, 3) -> (B, T3, C)."""
+    from adfmsl.ops.sinc import sinc_conv_block_gemm
+
+    y = jnp.abs(sinc_conv_block_gemm(x, filters))        # (B, C, T')
+    b, c, t_out = y.shape
+    t3 = t_out // _POOL
+    pooled = jnp.max(y[:, :, : t3 * _POOL].reshape(b, c, t3, _POOL), axis=-1)
+    return jnp.transpose(pooled, (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sinc_abs_pool(x: jnp.ndarray, filters: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Trainable fused front end: Pallas kernel forward, XLA-recompute backward.
+
+    Differentiable in both x and filters (gradients flow through the sinc
+    filter synthesis), so the RawNet family can run the fused kernel in the
+    TRAINING forward pass too."""
+    return sinc_abs_pool_fused(x, filters, interpret=interpret)
+
+
+def _sap_fwd(x, filters, interpret):
+    return sinc_abs_pool_fused(x, filters, interpret=interpret), (x, filters)
+
+
+def _sap_bwd(interpret, res, g):
+    del interpret
+    x, filters = res
+    _, vjp = jax.vjp(_xla_frontend, x, filters)
+    return vjp(g)
+
+
+sinc_abs_pool.defvjp(_sap_fwd, _sap_bwd)

@@ -151,3 +151,66 @@ def test_rawnet_fused_eval_frontend_through_model():
                             mutable=["batch_stats"])
     np.testing.assert_array_equal(np.asarray(out_t1["logits"]),
                                   np.asarray(out_t2["logits"]))
+
+
+def test_rawnet_fused_train_frontend_gradients():
+    """fused_train_frontend routes the TRAINING forward through the Pallas
+    kernel via its custom VJP (backward = XLA recompute). Op level: the VJP is
+    literally jax.vjp of the XLA composition, so gradients match it exactly.
+    Model level: loss and grads stay finite and close to the XLA path."""
+    import jax
+    import jax.flatten_util
+
+    from adfmsl.ops.pallas.sinc_fused import _xla_frontend, sinc_abs_pool
+    from adfmsl.ops.sinc import sinc_filters, sinc_init
+
+    low, band = sinc_init(128)
+    low, band = jnp.asarray(low), jnp.asarray(band)
+
+    def loss_fused(low, band, x):
+        f = sinc_filters(low, band, 251)
+        return jnp.sum(jnp.tanh(sinc_abs_pool(x, f, True)))
+
+    def loss_xla(low, band, x):
+        f = sinc_filters(low, band, 251)
+        return jnp.sum(jnp.tanh(_xla_frontend(x, f)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(low, band, X)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(low, band, X)
+    for gf, gx, name in zip(g_fused, g_xla, ("low_hz", "band_hz", "x")):
+        gf, gx = np.asarray(gf), np.asarray(gx)
+        assert np.all(np.isfinite(gf)), name
+        # the cotangent entering the VJP differs only through tanh'(fused fwd)
+        # vs tanh'(xla fwd) — bf16-level forward difference
+        scale = max(float(np.abs(gx).max()), 1e-6)
+        np.testing.assert_allclose(gf, gx, atol=5e-2 * scale, err_msg=name)
+
+    # through the full model: training step produces finite, close gradients
+    exp_ref, m_ref, variables = _build("main")
+    exp_fused = make_experiment("main")
+    exp_fused.model.extra["fused_train_frontend"] = True
+    m_fused = build_model(exp_fused.model)
+    labels = jnp.asarray([0, 1], dtype=jnp.int32)
+
+    def model_loss(model):
+        def fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                X, train=True, rngs=RNGS, mutable=["batch_stats"])
+            logits = out["logits"]
+            return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(2), labels])
+        return fn
+
+    lf, gf = jax.value_and_grad(model_loss(m_fused))(variables["params"])
+    lx, gx = jax.value_and_grad(model_loss(m_ref))(variables["params"])
+    assert np.isfinite(float(lf))
+    np.testing.assert_allclose(float(lf), float(lx), rtol=0.05)
+    flat_f = jax.flatten_util.ravel_pytree(gf)[0]
+    flat_x = jax.flatten_util.ravel_pytree(gx)[0]
+    assert np.all(np.isfinite(np.asarray(flat_f)))
+    cos = float(jnp.vdot(flat_f, flat_x)
+                / (jnp.linalg.norm(flat_f) * jnp.linalg.norm(flat_x) + 1e-12))
+    # The VJP itself is exact (op-level check above); model-level divergence is
+    # purely the bf16 kernel forward feeding BN batch stats + a GRU on a
+    # 2-sample batch (measured ~0.94 cosine). A wrong VJP lands near 0.
+    assert cos > 0.85, f"gradient cosine {cos}"
