@@ -20,7 +20,10 @@ def build_parser():
     p.add_argument("--model_type", required=True, help="registry model name")
     p.add_argument("--model_path", default=None, help="checkpoint dir (optional)")
     p.add_argument("--protocol", required=True)
-    p.add_argument("--data_dir", required=True)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--pack", default=None,
+                   help="packed-array prefix (adfmsl-pack) replacing --data_dir "
+                        "— zero decode during evaluation")
     p.add_argument("--output", default=None, help="score file path")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--cut", type=int, default=None,
@@ -80,8 +83,20 @@ def main(argv=None) -> int:
         # on v5e; interpret-mode on non-TPU backends). Training is unaffected.
         exp.model.extra["fused_eval_frontend"] = not args.no_fused_frontend
     proto = parse_protocol(args.protocol, exp.data.label_polarity)
-    loader = make_dataset_and_loader(exp, proto, args.data_dir, shuffle=False,
-                                     batch_size=args.batch_size, drop_last=False)
+    if args.pack:
+        from adfmsl.data import DataLoader, PackedDataset
+
+        packed = PackedDataset(args.pack, proto)
+        if packed.cut != exp.data.cut:
+            exp.data.cut = packed.cut
+        loader = DataLoader(packed, args.batch_size, shuffle=False,
+                            drop_last=False, prefetch=exp.data.prefetch)
+    elif args.data_dir:
+        loader = make_dataset_and_loader(exp, proto, args.data_dir, shuffle=False,
+                                         batch_size=args.batch_size,
+                                         drop_last=False)
+    else:
+        build_parser().error("one of --data_dir or --pack is required")
     trainer = Trainer(exp, loader, checkpoint_dir=args.model_path)
     if args.model_path:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)

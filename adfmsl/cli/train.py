@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="packed-array prefix (adfmsl-pack) replacing the train "
                         "audio dir — zero decode per epoch")
     p.add_argument("--dev_pack", default=None)
+    p.add_argument("--eval_pack", default=None,
+                   help="packed-array prefix for the --eval protocol split")
     return p
 
 
@@ -147,9 +149,15 @@ def main(argv=None) -> int:
         eval_proto_path = args.eval_protocol or _default_paths(args, "eval", "trl")[0]
         eval_dir = args.eval_dir or _default_paths(args, "eval", "trl")[1]
         eval_proto = parse_protocol(eval_proto_path, exp.data.label_polarity)
-        loader = make_dataset_and_loader(exp, eval_proto, eval_dir, shuffle=False,
-                                         batch_size=exp.train.eval_batch_size,
-                                         drop_last=False)
+        if args.eval_pack:
+            loader = DataLoader(PackedDataset(args.eval_pack, eval_proto),
+                                exp.train.eval_batch_size, shuffle=False,
+                                drop_last=False, prefetch=exp.data.prefetch)
+        else:
+            loader = make_dataset_and_loader(exp, eval_proto, eval_dir,
+                                             shuffle=False,
+                                             batch_size=exp.train.eval_batch_size,
+                                             drop_last=False)
         res = evaluate_to_file(trainer.state, loader, args.eval_output,
                                labels=eval_proto.labels or None,
                                eval_step=trainer.eval_step)

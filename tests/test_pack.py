@@ -52,3 +52,30 @@ def test_pack_cli(fixture_dir, tmp_path, capsys):
     audio, labels = ds.load_batch(ds.protocol.utt_ids[:4])
     assert audio.shape == (4, 4000)
     assert np.isfinite(audio).all()
+
+
+def test_eval_from_pack_cli(fixture_dir, tmp_path, capsys):
+    """adfmsl-eval --pack scores a protocol from a packed array with identical
+    scores to the decode path (zero per-utterance decode at eval)."""
+    from adfmsl.cli.evaluate import main as eval_main
+    from adfmsl.cli.pack import main as pack_main
+    from adfmsl.evaluation import read_score_file
+
+    prefix = str(tmp_path / "ev")
+    assert pack_main(["--protocol", fixture_dir["eval"]["protocol"],
+                      "--data_dir", fixture_dir["eval"]["audio_dir"],
+                      "--out_prefix", prefix, "--cut", "4000"]) == 0
+    capsys.readouterr()
+
+    s_pack = str(tmp_path / "pack_scores.txt")
+    s_dir = str(tmp_path / "dir_scores.txt")
+    common = ["--model_type", "lcnn1d_lfcc", "--cut", "4000",
+              "--protocol", fixture_dir["eval"]["protocol"],
+              "--batch_size", "6"]
+    assert eval_main(common + ["--pack", prefix, "--output", s_pack]) == 0
+    assert eval_main(common + ["--data_dir", fixture_dir["eval"]["audio_dir"],
+                               "--output", s_dir]) == 0
+    a, b = read_score_file(s_pack), read_score_file(s_dir)
+    assert set(a) == set(b)
+    np.testing.assert_allclose([a[k] for k in sorted(a)],
+                               [b[k] for k in sorted(b)], rtol=1e-5, atol=1e-6)
