@@ -7,6 +7,11 @@ from typing import Dict, Iterable, List, Tuple
 
 
 def write_score_file(path: str, utt_ids: Iterable[str], scores: Iterable[float]) -> int:
+    import os
+
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     n = 0
     with open(path, "w") as fh:
         for u, s in zip(utt_ids, scores):
