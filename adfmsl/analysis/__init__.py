@@ -1,6 +1,7 @@
 from adfmsl.analysis.compare import ComparisonResult, compare_models, detect_architecture
 from adfmsl.analysis.figures import (
     plot_det,
+    plot_embedding_geometry,
     plot_fmsl_trend,
     plot_model_comparison,
     plot_performance_landscape,
@@ -24,7 +25,8 @@ from adfmsl.analysis.report import (
 __all__ = [
     "check_compatibility", "count_params", "model_summary",
     "ComparisonResult", "compare_models", "detect_architecture",
-    "plot_det", "plot_fmsl_trend", "plot_model_comparison",
+    "plot_det", "plot_embedding_geometry", "plot_fmsl_trend",
+    "plot_model_comparison",
     "plot_performance_landscape", "plot_roc", "plot_score_distributions",
     "ProcessedScores", "ScoreFileProcessor", "model_name_from_filename",
     "REFERENCE_RESULTS", "check_against_reference", "comparison_markdown",

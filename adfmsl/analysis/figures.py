@@ -183,3 +183,63 @@ def plot_performance_landscape(per_model: Dict[str, Dict[str, float]],
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_embedding_geometry(features: np.ndarray, labels: Sequence[int],
+                            out_path: str,
+                            prototypes: Optional[np.ndarray] = None,
+                            class_weights: Optional[np.ndarray] = None,
+                            title: str = "Embedding geometry") -> str:
+    """Real-data embedding-geometry panel: PCA projection of the pooled
+    embeddings colored by class, plus a class-separation histogram.
+
+    This replaces the reference analyzer's t-SNE/bottleneck panels, which were
+    SYNTHESISED from np.random rather than model outputs
+    (comprehensive_thesis_analyser.py:315-366) — here the geometry is computed
+    from actual per-utterance features (adfmsl-eval --dump_embeddings). For
+    FMSL models the learned spoof prototypes / class weight vectors are
+    projected into the same PCA plane.
+    """
+    plt = _plt()
+    feats = np.asarray(features, dtype=np.float64)
+    y = np.asarray(labels)
+    mu = feats.mean(axis=0)
+    xc = feats - mu
+    # PCA via SVD (no sklearn dependency)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    p2 = xc @ vt[:2].T                                   # (N, 2)
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 6))
+    for cls, name, color in ((1, "bonafide", "tab:blue"), (0, "spoof", "tab:red")):
+        m = y == cls
+        ax1.scatter(p2[m, 0], p2[m, 1], s=8, alpha=0.5, c=color, label=name)
+    for arr, marker, name in ((prototypes, "*", "spoof prototypes"),
+                              (class_weights, "X", "class weights")):
+        if arr is not None and len(arr):
+            q = (np.asarray(arr, dtype=np.float64) - mu) @ vt[:2].T
+            ax1.scatter(q[:, 0], q[:, 1], s=220, marker=marker, c="black",
+                        edgecolors="white", linewidths=1.2, label=name, zorder=5)
+    ax1.set_xlabel("PC 1")
+    ax1.set_ylabel("PC 2")
+    ax1.set_title(f"{title}: PCA of pooled embeddings")
+    ax1.legend()
+
+    # separation histogram: cosine to the bonafide centroid
+    norm = np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12
+    unit = feats / norm
+    centroid = unit[y == 1].mean(axis=0) if (y == 1).any() else unit.mean(axis=0)
+    centroid = centroid / (np.linalg.norm(centroid) + 1e-12)
+    cos = unit @ centroid
+    bins = np.linspace(float(cos.min()), float(cos.max()) + 1e-9, 40)
+    ax2.hist(cos[y == 1], bins=bins, alpha=0.6, color="tab:blue",
+             label="bonafide", density=True)
+    ax2.hist(cos[y == 0], bins=bins, alpha=0.6, color="tab:red",
+             label="spoof", density=True)
+    ax2.set_xlabel("cosine similarity to bonafide centroid")
+    ax2.set_ylabel("density")
+    ax2.set_title("Class separation on the hypersphere")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -11,7 +11,9 @@ import sys
 
 def build_parser():
     p = argparse.ArgumentParser("adfmsl-analyze")
-    p.add_argument("--scores_dir", required=True)
+    p.add_argument("--scores_dir", default=None,
+                   help="directory of *_scores.txt (required unless only "
+                        "--embeddings panels are requested)")
     p.add_argument("--protocol", required=True)
     p.add_argument("--output_dir", default="analysis_out")
     p.add_argument("--polarity", default="bonafide1", choices=["bonafide1", "spoof1"])
@@ -21,11 +23,23 @@ def build_parser():
     p.add_argument("--regression", type=float, default=None, metavar="TOL",
                    help="fail (rc 2) unless every model with a published thesis "
                         "EER is within TOL absolute (driver target: 0.001)")
+    p.add_argument("--embeddings", default=None, metavar="NPZ", action="append",
+                   help="embedding dump(s) from adfmsl-eval --dump_embeddings; "
+                        "renders real-data PCA geometry + hypersphere "
+                        "separation panels (the reference analyzer synthesised "
+                        "these from np.random)")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.scores_dir:
+        if not args.embeddings:
+            parser.error("--scores_dir is required (or pass --embeddings)")
+        os.makedirs(args.output_dir, exist_ok=True)
+        _render_embeddings(args)
+        return 0
     from adfmsl.analysis import (
         ScoreFileProcessor,
         comparison_markdown,
@@ -52,6 +66,8 @@ def main(argv=None) -> int:
 
     if args.figures:
         _render_figures(args, processed)
+    if args.embeddings:
+        _render_embeddings(args)
 
     if args.regression is not None:
         from adfmsl.analysis import check_against_reference
@@ -100,6 +116,31 @@ def _render_figures(args, processed) -> None:
             processed.per_model,
             os.path.join(args.output_dir, "comprehensive_histogram.png"))
     print(f"wrote figure panels to {args.output_dir}/")
+
+
+def _render_embeddings(args) -> None:
+    import numpy as np
+
+    from adfmsl.analysis import plot_embedding_geometry
+    from adfmsl.data import parse_protocol
+
+    labels = parse_protocol(args.protocol, args.polarity).labels
+    for path in args.embeddings:
+        with np.load(path, allow_pickle=False) as z:
+            utt_ids = [str(u) for u in z["utt_ids"]]
+            feats = z["features"]
+            protos = z["prototypes"] if "prototypes" in z.files else None
+            weights = z["class_weights"] if "class_weights" in z.files else None
+        keep = [i for i, u in enumerate(utt_ids) if u in labels]
+        if not keep:
+            print(f"embeddings {path}: no utterances match the protocol")
+            continue
+        y = [labels[utt_ids[i]] for i in keep]
+        name = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(args.output_dir, f"embedding_geometry_{name}.png")
+        plot_embedding_geometry(feats[keep], y, out, prototypes=protos,
+                                class_weights=weights, title=name)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

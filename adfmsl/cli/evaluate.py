@@ -35,6 +35,10 @@ def build_parser():
                    help="synthetic forward-pass check before evaluation")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard eval batches over N devices (0/1 = single)")
+    p.add_argument("--dump_embeddings", default=None, metavar="NPZ",
+                   help="also save per-utterance pooled embeddings (+ FMSL "
+                        "prototypes/class weights when present) for "
+                        "adfmsl-analyze --embeddings")
     return p
 
 
@@ -123,6 +127,25 @@ def main(argv=None) -> int:
     if res.metrics:
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in res.metrics.items()})
+    if args.dump_embeddings:
+        from adfmsl.evaluation import produce_embeddings
+
+        emb = produce_embeddings(trainer.state, loader)
+        extras = {}
+        fmsl = trainer.state.params.get("fmsl")
+        if fmsl is not None:
+            # normalized, as the head uses them (heads/fmsl.py l2_normalize)
+            for key, name in (("prototypes", "prototypes"),
+                              ("weight", "class_weights")):
+                v = np.asarray(fmsl.get(key)) if fmsl.get(key) is not None else None
+                if v is not None:
+                    extras[name] = v / (np.linalg.norm(v, axis=-1, keepdims=True)
+                                        + 1e-12)
+        np.savez(args.dump_embeddings, utt_ids=np.array(emb.utt_ids),
+                 features=emb.features, scores=emb.scores, **extras)
+        logging.info("dumped %d embeddings (dim %d) to %s",
+                     len(emb.utt_ids), emb.features.shape[-1],
+                     args.dump_embeddings)
     return 0
 
 

@@ -14,7 +14,9 @@ from adfmsl.evaluation.metrics import (
     roc_points,
     simplified_min_dcf,
 )
-from adfmsl.evaluation.runner import EvalResult, evaluate_to_file, produce_scores
+from adfmsl.evaluation.runner import (EmbeddingResult, EvalResult,
+                                      evaluate_to_file, produce_embeddings,
+                                      produce_scores)
 from adfmsl.evaluation.scores import (
     join_scores_with_labels,
     read_score_file,
@@ -26,6 +28,7 @@ __all__ = [
     "TDCFCosts", "accuracy_at_threshold", "auc_score", "average_precision",
     "compute_all_metrics", "compute_eer", "min_tdcf", "roc_points",
     "simplified_min_dcf",
-    "EvalResult", "evaluate_to_file", "produce_scores",
+    "EmbeddingResult", "EvalResult", "evaluate_to_file",
+    "produce_embeddings", "produce_scores",
     "join_scores_with_labels", "read_score_file", "write_score_file",
 ]

@@ -115,6 +115,47 @@ def produce_scores(state: TrainState, loader: DataLoader,
     return EvalResult(ids, np.asarray(all_scores, dtype=np.float64), n_bad)
 
 
+@dataclass
+class EmbeddingResult:
+    utt_ids: List[str]
+    features: np.ndarray            # (N, D) pooled embeddings
+    scores: np.ndarray              # (N,)
+
+
+def produce_embeddings(state: TrainState, loader: DataLoader) -> EmbeddingResult:
+    """Per-utterance pooled embeddings (the models' 'features' output) plus CM
+    scores — the real-data input for the embedding-geometry figures. The
+    reference analyzer synthesised its t-SNE/plateau panels from np.random
+    (comprehensive_thesis_analyser.py:315-366); this computes the actual
+    geometry instead. Same async-dispatch pipelining as produce_scores."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(state, audio):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        out = state.apply_fn(variables, audio, train=False)
+        return out["features"], out["scores"]
+
+    pending = []
+    for batch in loader:
+        f, s = step(state, jnp.asarray(batch.audio))
+        pending.append((f, s, batch.utt_ids, batch.mask))
+    ids: List[str] = []
+    feats: List[np.ndarray] = []
+    scores: List[float] = []
+    for f, s, utt_ids, mask in pending:
+        f, s = np.asarray(f), np.asarray(s)
+        for u, fv, sc, m in zip(utt_ids, f, s, mask):
+            if m:
+                ids.append(u)
+                feats.append(fv)
+                scores.append(float(sc))
+    return EmbeddingResult(ids, np.asarray(feats, dtype=np.float32),
+                           np.asarray(scores, dtype=np.float64))
+
+
 def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
                      labels: Optional[Dict[str, int]] = None,
                      eval_step=None, mesh=None) -> EvalResult:

@@ -166,3 +166,37 @@ def test_cli_analyze_figures_and_regression(tmp_path):
               "trend_visualizations.png", "comprehensive_histogram.png",
               "maze5_score_dist.png"]:
         assert (out / f).exists(), f
+
+
+def test_embedding_dump_and_geometry_figure(fixture_dir, tmp_path, capsys):
+    """adfmsl-eval --dump_embeddings -> adfmsl-analyze --embeddings renders the
+    real-data geometry panel (replacing the reference's np.random-synthesised
+    t-SNE panels, comprehensive_thesis_analyser.py:315-366)."""
+    import numpy as np
+
+    from adfmsl.cli.analyze import main as analyze_main
+    from adfmsl.cli.evaluate import main as eval_main
+
+    npz = str(tmp_path / "maze5_fmsl_emb.npz")
+    rc = eval_main(["--model_type", "maze5_fmsl", "--cut", "4000",
+                    "--protocol", fixture_dir["eval"]["protocol"],
+                    "--data_dir", fixture_dir["eval"]["audio_dir"],
+                    "--batch_size", "6",
+                    "--output", str(tmp_path / "s.txt"),
+                    "--dump_embeddings", npz])
+    assert rc == 0
+    with np.load(npz) as z:
+        n = len(z["utt_ids"])
+        assert n == 16 and z["features"].shape[0] == n
+        assert np.isfinite(z["features"]).all()
+        assert "prototypes" in z.files and "class_weights" in z.files
+        # stored normalized, as the head consumes them
+        np.testing.assert_allclose(np.linalg.norm(z["prototypes"], axis=-1),
+                                   1.0, rtol=1e-5)
+
+    out_dir = str(tmp_path / "figs")
+    rc = analyze_main(["--protocol", fixture_dir["eval"]["protocol"],
+                       "--output_dir", out_dir, "--embeddings", npz])
+    assert rc == 0
+    assert os.path.exists(os.path.join(
+        out_dir, "embedding_geometry_maze5_fmsl_emb.png"))
