@@ -91,6 +91,65 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
     return eval_rate, train_rate
 
 
+def bench_episodic(batch_eval: int = 4):
+    """BASELINE config #3: 2-way 5-shot prototypical episodes, vmap-batched
+    through the maze5 trunk (support+query embed, prototype computation,
+    distance logits, full backward + adam). Reports episodes/s and utt/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adfmsl.config import make_experiment
+    from adfmsl.heads.episodic import make_episodic_train_step
+
+    exp = make_experiment("maze5")
+    model_name = "maze5"
+    from adfmsl.models import build_model
+
+    model = build_model(exp.model)
+    n_way, k_shot, q_queries, eps = 2, 5, 5, batch_eval
+    rng = np.random.default_rng(0)
+    support = jnp.asarray(rng.standard_normal(
+        (eps, n_way, k_shot, CUT)).astype(np.float32))
+    query = jnp.asarray(rng.standard_normal(
+        (eps, n_way, q_queries, CUT)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((2, CUT)), train=False)
+    bstats = variables.get("batch_stats")
+
+    def embed(params, audio):
+        v = {"params": params}
+        if bstats is not None:
+            v["batch_stats"] = bstats
+        return model.apply(v, audio, train=False)["features"]
+
+    tx = optax.adam(1e-3)
+    step = make_episodic_train_step(embed, tx, 10.0, "cosine")
+    params, opt = variables["params"], tx.init(variables["params"])
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def many(params, opt, n):
+        def body(carry, _):
+            p, o, last = carry
+            p2, o2, m = step(p, o, support + last * 1e-30, query)
+            return (p2, o2, m["loss"]), m["loss"]
+        (p, o, last), losses = jax.lax.scan(body, (params, opt, jnp.float32(0.0)),
+                                            None, length=n)
+        return losses.sum()
+
+    iters = 8
+    float(many(params, opt, iters))
+    t0 = time.perf_counter()
+    float(many(params, opt, iters))
+    dt = time.perf_counter() - t0
+    utts = eps * n_way * (k_shot + q_queries)
+    return {"model": f"episodic_{model_name}",
+            "episodes_s_chip": round(eps * iters / dt, 2),
+            "utt_s_chip": round(utts * iters / dt, 1),
+            "note": f"{n_way}-way {k_shot}-shot +{q_queries}q, "
+                    f"{eps} episodes/batch, full train step"}
+
+
 def build_needs_w2v2(name: str) -> bool:
     from adfmsl.models.mazes import SPECS
 
@@ -100,6 +159,9 @@ def build_needs_w2v2(name: str) -> bool:
 def main():
     models = sys.argv[1:] or ["maze5", "main", "maze7"]
     for name in models:
+        if name == "episodic":
+            print(json.dumps(bench_episodic()))
+            continue
         ev, tr = bench_model(name)
         print(json.dumps({"model": name, "eval_utt_s_chip": round(ev, 1),
                           "train_utt_s_chip": round(tr, 1),
