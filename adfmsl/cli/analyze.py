@@ -109,7 +109,10 @@ def _render_figures(args, processed) -> None:
         plot_det(sb, lb, os.path.join(args.output_dir, "det.png"))
     plot_model_comparison(processed.per_model,
                           os.path.join(args.output_dir, "model_comparison.png"))
-    if any(n.endswith("_fmsl") for n in processed.per_model):
+    # the paired panels need at least one (base, base_fmsl) pair — a lone
+    # *_fmsl score file would otherwise render blank bar charts
+    if any(n.endswith("_fmsl") and n[:-5] in processed.per_model
+           for n in processed.per_model):
         plot_fmsl_trend(processed.per_model,
                         os.path.join(args.output_dir, "trend_visualizations.png"))
         plot_performance_landscape(

@@ -18,7 +18,9 @@ def build_parser():
     p = argparse.ArgumentParser("adfmsl-convert-maze")
     p.add_argument("--torch_ckpt", required=True, help=".pth/.pt state dict")
     p.add_argument("--model_type", required=True,
-                   help="registry name (maze4, maze5, maze4_fmsl, maze5_fmsl)")
+                   help="registry name — all 16 reference models supported "
+                        "(main/maze2..8 and their _fmsl variants; maze2_fmsl "
+                        "ports under fixed head semantics, models/port.py)")
     p.add_argument("--out", required=True, help="output checkpoint directory")
     p.add_argument("--no_drift", action="store_true")
     p.add_argument("--cut", type=int, default=64600,

@@ -85,7 +85,14 @@ def main(argv=None) -> int:
     if SPECS.get(args.model_type) and SPECS[args.model_type].frontend == "rawnet":
         # Eval-only Pallas fused sinc+|.|+pool3 front end (2x the XLA composition
         # on v5e; interpret-mode on non-TPU backends). Training is unaffected.
-        exp.model.extra["fused_eval_frontend"] = not args.no_fused_frontend
+        # Reference-parity checkpoints (ported torch weights, experiment.yaml
+        # from adfmsl-convert-maze) promise f32 <=1e-3 logit parity — the bf16
+        # kernel would silently break that, so never force it on for them.
+        parity = (exp.model.architecture.block_semantics == "reference"
+                  or exp.model.architecture.sinc_formula == "reference"
+                  or exp.model.dtype == "float32")
+        exp.model.extra["fused_eval_frontend"] = (not args.no_fused_frontend
+                                                  and not parity)
     proto = parse_protocol(args.protocol, exp.data.label_polarity)
     if args.pack:
         from adfmsl.data import DataLoader, PackedDataset
@@ -101,25 +108,23 @@ def main(argv=None) -> int:
                                          drop_last=False)
     else:
         build_parser().error("one of --data_dir or --pack is required")
-    trainer = Trainer(exp, loader, checkpoint_dir=args.model_path)
-    if args.model_path:
-        trainer.state, epoch = trainer.ckpt.restore(trainer.state)
-        logging.info("restored %s epoch %d", args.model_path, epoch)
-    if args.smoke_test and not smoke_test(trainer):
-        return 1
     mesh = None
     if args.data_parallel > 1:
         import jax
 
         from adfmsl.config import MeshConfig
-        from adfmsl.parallel import make_mesh, replicate
+        from adfmsl.parallel import make_mesh
 
         mesh = make_mesh(MeshConfig(data_parallel=args.data_parallel),
                          devices=jax.devices()[: args.data_parallel])
-        trainer.state = trainer.state.replace(
-            params=replicate(mesh, trainer.state.params),
-            batch_stats=replicate(mesh, trainer.state.batch_stats),
-            opt_state=replicate(mesh, trainer.state.opt_state))
+    # Trainer(mesh=...) replicates params/batch_stats/opt_state over the mesh;
+    # orbax restore preserves that placement (train/checkpoint.py template).
+    trainer = Trainer(exp, loader, checkpoint_dir=args.model_path, mesh=mesh)
+    if args.model_path:
+        trainer.state, epoch = trainer.ckpt.restore(trainer.state)
+        logging.info("restored %s epoch %d", args.model_path, epoch)
+    if args.smoke_test and not smoke_test(trainer):
+        return 1
     out_path = args.output or f"{args.model_type}_scores.txt"
     res = evaluate_to_file(trainer.state, loader, out_path,
                            labels=proto.labels or None,

@@ -70,12 +70,25 @@ class PackedDataset:
         self.cut = int(meta["cut"])
         self.pad_mode = meta["pad_mode"]
         self.sample_rate = int(meta["sample_rate"])
-        self._labels = {k: int(v) for k, v in (meta.get("labels") or {}).items()}
+        pack_labels = {k: int(v) for k, v in (meta.get("labels") or {}).items()}
         self._ids = list(meta["utt_ids"])
         self._index = {u: i for i, u in enumerate(self._ids)}
         if protocol is None:
             protocol = Protocol([
-                ProtocolEntry("-", u, "-", self._labels.get(u)) for u in self._ids])
+                ProtocolEntry("-", u, "-", pack_labels.get(u)) for u in self._ids])
+            self._labels = pack_labels
+        else:
+            # The caller's protocol is authoritative for labels: it carries the
+            # experiment's label polarity ('spoof1' compat flag etc.), while the
+            # pack metadata froze whatever polarity adfmsl-pack ran with.
+            # Audio rows are polarity-independent, so only ids must match.
+            missing = [u for u in protocol.utt_ids if u not in self._index]
+            if missing:
+                raise KeyError(
+                    f"{len(missing)} protocol utterances missing from pack "
+                    f"(first: {missing[:3]}) — re-run adfmsl-pack on this "
+                    f"protocol")
+            self._labels = protocol.labels or pack_labels
         self.protocol = protocol
 
     def __len__(self) -> int:

@@ -193,6 +193,17 @@ class Trainer:
         return acc, eer
 
     def fit(self, num_epochs: Optional[int] = None) -> List[EpochMetrics]:
+        if (self.mesh is not None
+                and self.exp.train.batch_size % self.mesh.devices.shape[0]):
+            # Padded zero rows would otherwise enter BatchNorm BATCH statistics
+            # on every training step (the loss is masked, BN is not) — a silent
+            # accuracy bug, so reject instead of padding the train batches.
+            # Eval-only mesh use is fine (eval uses running stats; checked here,
+            # not in __init__, so adfmsl-eval --data_parallel keeps working).
+            raise ValueError(
+                f"train.batch_size={self.exp.train.batch_size} must be "
+                f"divisible by the data-parallel axis size "
+                f"{self.mesh.devices.shape[0]}")
         n = num_epochs or self.exp.train.num_epochs
         stopper = None
         if self.exp.train.early_stop_patience > 0:

@@ -11,9 +11,10 @@ from __future__ import annotations
 import functools
 import json
 import sys
-import time
 
 import numpy as np
+
+from bench import _time_one_sync   # the axon-tunnel timing rule lives in ONE place
 
 CUT = 64600
 N_EVAL = 16
@@ -49,10 +50,8 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry + sums.sum()
 
-    float(fwd_many(variables, x, N_EVAL))
-    t0 = time.perf_counter()
-    float(fwd_many(variables, x, N_EVAL))
-    eval_rate = batch_eval * N_EVAL / (time.perf_counter() - t0)
+    eval_rate = batch_eval * N_EVAL / _time_one_sync(
+        lambda: fwd_many(variables, x, N_EVAL))
 
     xt = jnp.asarray(rng.standard_normal((batch_train, CUT)).astype(np.float32))
     labels = jnp.asarray(np.arange(batch_train) % 2, dtype=jnp.int32)
@@ -84,10 +83,8 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
 
     carry0 = (vt["params"], vt.get("batch_stats", {}), tx.init(vt["params"]),
               jnp.float32(0.0))
-    float(train_many(carry0, N_TRAIN))
-    t0 = time.perf_counter()
-    float(train_many(carry0, N_TRAIN))
-    train_rate = batch_train * N_TRAIN / (time.perf_counter() - t0)
+    train_rate = batch_train * N_TRAIN / _time_one_sync(
+        lambda: train_many(carry0, N_TRAIN))
     return eval_rate, train_rate
 
 
@@ -138,10 +135,7 @@ def bench_episodic(batch_eval: int = 4):
         return losses.sum()
 
     iters = 8
-    float(many(params, opt, iters))
-    t0 = time.perf_counter()
-    float(many(params, opt, iters))
-    dt = time.perf_counter() - t0
+    dt = _time_one_sync(lambda: many(params, opt, iters))
     utts = eps * n_way * (k_shot + q_queries)
     return {"model": f"episodic_{model_name}",
             "episodes_s_chip": round(eps * iters / dt, 2),

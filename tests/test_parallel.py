@@ -185,3 +185,28 @@ def test_trainer_mesh_data_parallel_matches_single_device(fixture_dir):
         assert a.train_loss == pytest.approx(b.train_loss, rel=1e-3)
         assert a.dev_acc == pytest.approx(b.dev_acc, abs=1e-6)
         assert a.dev_eer == pytest.approx(b.dev_eer, abs=1e-6)
+
+
+def test_trainer_mesh_rejects_nondivisible_batch(fixture_dir):
+    """Padded zero rows must never enter BN batch stats during mesh training:
+    fit() rejects batch sizes not divisible by the data axis (eval-only mesh
+    use stays allowed — the guard lives in fit, not __init__)."""
+    import pytest as _pytest
+
+    from adfmsl.config import MeshConfig, make_experiment
+    from adfmsl.data import parse_protocol
+    from adfmsl.parallel import make_mesh
+    from adfmsl.train import Trainer, make_dataset_and_loader
+
+    exp = make_experiment("lcnn1d_lfcc")
+    exp.data.cut = 4000
+    exp.train.batch_size = 12            # not divisible by 8
+    exp.train.num_epochs = 1
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+    loader = make_dataset_and_loader(exp, proto,
+                                     fixture_dir["train"]["audio_dir"],
+                                     shuffle=True)
+    mesh = make_mesh(MeshConfig(data_parallel=8))
+    trainer = Trainer(exp, loader, mesh=mesh)   # construction is fine (eval use)
+    with _pytest.raises(ValueError, match="divisible"):
+        trainer.fit()
