@@ -7,6 +7,7 @@ from adfmsl.analysis.figures import (
     plot_performance_landscape,
     plot_roc,
     plot_score_distributions,
+    plot_training_curves,
 )
 from adfmsl.analysis.processor import (
     ProcessedScores,
@@ -28,6 +29,7 @@ __all__ = [
     "plot_det", "plot_embedding_geometry", "plot_fmsl_trend",
     "plot_model_comparison",
     "plot_performance_landscape", "plot_roc", "plot_score_distributions",
+    "plot_training_curves",
     "ProcessedScores", "ScoreFileProcessor", "model_name_from_filename",
     "REFERENCE_RESULTS", "check_against_reference", "comparison_markdown",
     "results_csv", "results_latex",

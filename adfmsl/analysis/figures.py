@@ -243,3 +243,32 @@ def plot_embedding_geometry(features: np.ndarray, labels: Sequence[int],
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_training_curves(curves_by_run, out_path: str) -> str:
+    """Training-curve panels from the JSONL metric logs (the figure half of the
+    reference's tensorboardX logging, maze2.py:487-489 / maze6.py:723-727).
+
+    ``curves_by_run``: {run_name: {tag: [(step, value), ...]}} — the shape
+    ``adfmsl.utils.read_metrics`` returns, one dict per run/log dir.
+    """
+    plt = _plt()
+    tags = sorted({t for c in curves_by_run.values() for t in c})
+    if not tags:
+        raise ValueError("no logged scalars found")
+    fig, axes = plt.subplots(1, len(tags), figsize=(5.5 * len(tags), 4.5),
+                             squeeze=False)
+    for ax, tag in zip(axes[0], tags):
+        for run, curves in curves_by_run.items():
+            pts = sorted(curves.get(tag, []))
+            if pts:
+                ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                        marker="o", markersize=3, label=run)
+        ax.set_title(tag)
+        ax.set_xlabel("epoch")
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

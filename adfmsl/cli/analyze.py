@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("--regression", type=float, default=None, metavar="TOL",
                    help="fail (rc 2) unless every model with a published thesis "
                         "EER is within TOL absolute (driver target: 0.001)")
+    p.add_argument("--curves", default=None, metavar="LOG_DIR", action="append",
+                   help="JSONL metric log dir(s) from adfmsl-train --log_dir; "
+                        "renders training-curve panels per logged tag")
     p.add_argument("--embeddings", default=None, metavar="NPZ", action="append",
                    help="embedding dump(s) from adfmsl-eval --dump_embeddings; "
                         "renders real-data PCA geometry + hypersphere "
@@ -35,10 +38,14 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if not args.scores_dir:
-        if not args.embeddings:
-            parser.error("--scores_dir is required (or pass --embeddings)")
+        if not (args.embeddings or args.curves):
+            parser.error("--scores_dir is required (or pass --embeddings/"
+                         "--curves)")
         os.makedirs(args.output_dir, exist_ok=True)
-        _render_embeddings(args)
+        if args.embeddings:
+            _render_embeddings(args)
+        if args.curves:
+            _render_curves(args)
         return 0
     from adfmsl.analysis import (
         ScoreFileProcessor,
@@ -68,6 +75,8 @@ def main(argv=None) -> int:
         _render_figures(args, processed)
     if args.embeddings:
         _render_embeddings(args)
+    if args.curves:
+        _render_curves(args)
 
     if args.regression is not None:
         from adfmsl.analysis import check_against_reference
@@ -143,6 +152,23 @@ def _render_embeddings(args) -> None:
         out = os.path.join(args.output_dir, f"embedding_geometry_{name}.png")
         plot_embedding_geometry(feats[keep], y, out, prototypes=protos,
                                 class_weights=weights, title=name)
+        print(f"wrote {out}")
+
+
+def _render_curves(args) -> None:
+    from adfmsl.analysis import plot_training_curves
+    from adfmsl.utils import read_metrics
+
+    curves = {}
+    for d in args.curves:
+        c = read_metrics(d)
+        if c:
+            curves[os.path.basename(os.path.normpath(d)) or d] = c
+        else:
+            print(f"curves: no metrics.jsonl under {d}")
+    if curves:
+        out = os.path.join(args.output_dir, "training_curves.png")
+        plot_training_curves(curves, out)
         print(f"wrote {out}")
 
 

@@ -200,3 +200,22 @@ def test_embedding_dump_and_geometry_figure(fixture_dir, tmp_path, capsys):
     assert rc == 0
     assert os.path.exists(os.path.join(
         out_dir, "embedding_geometry_maze5_fmsl_emb.png"))
+
+
+def test_training_curves_figure(tmp_path, fixture_dir):
+    """adfmsl-analyze --curves renders per-tag training curves from the JSONL
+    metric logs (the figure half of the reference's tensorboardX logging)."""
+    from adfmsl.cli.analyze import main as analyze_main
+    from adfmsl.utils import MetricsLogger
+
+    log_dir = str(tmp_path / "logs")
+    mlog = MetricsLogger(log_dir, also_tensorboard=False)
+    for epoch, (loss, acc) in enumerate([(1.0, 0.5), (0.5, 0.8), (0.2, 0.95)]):
+        mlog.add_scalars({"train/loss": loss, "dev/acc": acc}, epoch)
+    mlog.close()
+
+    out_dir = str(tmp_path / "figs")
+    rc = analyze_main(["--protocol", fixture_dir["eval"]["protocol"],
+                       "--output_dir", out_dir, "--curves", log_dir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "training_curves.png"))
