@@ -22,10 +22,15 @@ _NAME_RE = re.compile(r"(main|maze\d+)(?:_(fmsl))?", re.IGNORECASE)
 
 
 def model_name_from_filename(fname: str) -> Optional[str]:
-    m = _NAME_RE.search(os.path.basename(fname).lower())
-    if not m:
-        return None
-    return m.group(1) + ("_fmsl" if m.group(2) else "")
+    base = os.path.basename(fname).lower()
+    m = _NAME_RE.search(base)
+    if m:
+        return m.group(1) + ("_fmsl" if m.group(2) else "")
+    # TPU-native extra families (lcnn_lfcc / lcnn1d_lfcc / resnet18_logmel)
+    # fall outside the reference's maze naming — use the stem before the
+    # '_scores' marker so their files aggregate too
+    stem = re.sub(r"_?(eval_)?scores.*$", "", base.removesuffix(".txt"))
+    return stem or None
 
 
 @dataclass

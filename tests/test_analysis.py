@@ -219,3 +219,33 @@ def test_training_curves_figure(tmp_path, fixture_dir):
                        "--output_dir", out_dir, "--curves", log_dir])
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "training_curves.png"))
+
+
+def test_batch_orchestrator_cli(fixture_dir, tmp_path, capsys):
+    """adfmsl-batch trains every model in the YAML plan, scores the eval split,
+    and aggregates (model_trainer.py:20-128 analog) — here with two tiny models
+    on the synthetic fixture."""
+    import yaml
+
+    from adfmsl.cli.batch import main as batch_main
+
+    plan = {"models": ["lcnn1d_lfcc", "lcnn_lfcc"],
+            "overrides": {"train.num_epochs": 1, "train.batch_size": 6,
+                          "data.cut": 4000,
+                          "model.spec_augment.enabled": False},
+            "per_model": {"lcnn_lfcc": {"train.optimizer.lr": 2e-4}}}
+    cfg = tmp_path / "plan.yaml"
+    cfg.write_text(yaml.safe_dump(plan))
+    out_dir = str(tmp_path / "batch_out")
+    rc = batch_main(["--config", str(cfg),
+                     "--train_protocol", fixture_dir["train"]["protocol"],
+                     "--train_dir", fixture_dir["train"]["audio_dir"],
+                     "--eval_protocol", fixture_dir["eval"]["protocol"],
+                     "--eval_dir", fixture_dir["eval"]["audio_dir"],
+                     "--output_dir", out_dir])
+    assert rc == 0
+    for name in plan["models"]:
+        assert os.path.exists(os.path.join(out_dir, "scores",
+                                           f"{name}_scores.txt"))
+    assert os.path.exists(os.path.join(out_dir, "results.csv"))
+    assert "lcnn1d_lfcc" in capsys.readouterr().out
