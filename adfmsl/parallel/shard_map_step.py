@@ -22,7 +22,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from adfmsl.config.base import ExperimentConfig
 from adfmsl.heads.losses import compute_loss
@@ -83,7 +83,7 @@ def make_shard_map_train_step(exp: ExperimentConfig, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(data_axis), P(data_axis), P(data_axis), P()),
             out_specs=P(),        # everything reduced -> replicated
-            check_rep=False,
+            check_vma=False,
         )
         grads, loss, correct, count, new_bs = fn(audio, labels, mask, rng)
         grads = _zero_nonfinite(grads)
