@@ -260,7 +260,9 @@ def plot_training_curves(curves_by_run, out_path: str) -> str:
                              squeeze=False)
     for ax, tag in zip(axes[0], tags):
         for run, curves in curves_by_run.items():
-            pts = sorted(curves.get(tag, []))
+            # dedupe per step, LAST record wins: resumed/re-run training
+            # appends to the same metrics.jsonl (MetricsLogger opens 'a')
+            pts = sorted(dict(sorted(curves.get(tag, []))).items())
             if pts:
                 ax.plot([p[0] for p in pts], [p[1] for p in pts],
                         marker="o", markersize=3, label=run)

@@ -27,10 +27,12 @@ def model_name_from_filename(fname: str) -> Optional[str]:
     if m:
         return m.group(1) + ("_fmsl" if m.group(2) else "")
     # TPU-native extra families (lcnn_lfcc / lcnn1d_lfcc / resnet18_logmel)
-    # fall outside the reference's maze naming — use the stem before the
-    # '_scores' marker so their files aggregate too
+    # fall outside the reference's maze naming — accept the stem before the
+    # '_scores' marker, but ONLY for registry-known names so aggregates like
+    # 'all_scores.txt' don't become bogus model rows
     stem = re.sub(r"_?(eval_)?scores.*$", "", base.removesuffix(".txt"))
-    return stem or None
+    from adfmsl.config.standardized import EXTRA_MODELS
+    return stem if stem in EXTRA_MODELS else None
 
 
 @dataclass

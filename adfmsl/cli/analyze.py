@@ -14,7 +14,9 @@ def build_parser():
     p.add_argument("--scores_dir", default=None,
                    help="directory of *_scores.txt (required unless only "
                         "--embeddings panels are requested)")
-    p.add_argument("--protocol", required=True)
+    p.add_argument("--protocol", default=None,
+                   help="CM protocol with labels (required for everything "
+                        "except --curves-only runs)")
     p.add_argument("--output_dir", default="analysis_out")
     p.add_argument("--polarity", default="bonafide1", choices=["bonafide1", "spoof1"])
     p.add_argument("--figures", action="store_true",
@@ -37,6 +39,8 @@ def build_parser():
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if (args.scores_dir or args.embeddings) and not args.protocol:
+        parser.error("--protocol is required with --scores_dir/--embeddings")
     if not args.scores_dir:
         if not (args.embeddings or args.curves):
             parser.error("--scores_dir is required (or pass --embeddings/"
@@ -147,7 +151,11 @@ def _render_embeddings(args) -> None:
         if not keep:
             print(f"embeddings {path}: no utterances match the protocol")
             continue
-        y = [labels[utt_ids[i]] for i in keep]
+        # the figure's class names assume canonical bonafide=1 — flip the
+        # 'spoof1' compat polarity back before plotting
+        flip = args.polarity == "spoof1"
+        y = [1 - labels[utt_ids[i]] if flip else labels[utt_ids[i]]
+             for i in keep]
         name = os.path.splitext(os.path.basename(path))[0]
         out = os.path.join(args.output_dir, f"embedding_geometry_{name}.png")
         plot_embedding_geometry(feats[keep], y, out, prototypes=protos,
@@ -160,10 +168,13 @@ def _render_curves(args) -> None:
     from adfmsl.utils import read_metrics
 
     curves = {}
-    for d in args.curves:
+    names = [os.path.basename(os.path.normpath(d)) or d for d in args.curves]
+    for d, name in zip(args.curves, names):
+        if names.count(name) > 1:          # runs/maze4/logs vs runs/maze5/logs
+            name = os.path.normpath(d)
         c = read_metrics(d)
         if c:
-            curves[os.path.basename(os.path.normpath(d)) or d] = c
+            curves[name] = c
         else:
             print(f"curves: no metrics.jsonl under {d}")
     if curves:

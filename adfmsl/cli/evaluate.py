@@ -99,6 +99,10 @@ def main(argv=None) -> int:
 
         packed = PackedDataset(args.pack, proto)
         if packed.cut != exp.data.cut:
+            (logging.warning if args.cut else logging.info)(
+                "clip length comes from the pack: %d (config had %d%s)",
+                packed.cut, exp.data.cut,
+                " — the explicit --cut is overridden" if args.cut else "")
             exp.data.cut = packed.cut
         loader = DataLoader(packed, args.batch_size, shuffle=False,
                             drop_last=False, prefetch=exp.data.prefetch)
@@ -126,16 +130,16 @@ def main(argv=None) -> int:
     if args.smoke_test and not smoke_test(trainer):
         return 1
     out_path = args.output or f"{args.model_type}_scores.txt"
+    # with --dump_embeddings the features ride the SAME forward pass (and the
+    # same mesh sharding) as scoring — the protocol streams once, not twice
     res = evaluate_to_file(trainer.state, loader, out_path,
                            labels=proto.labels or None,
-                           eval_step=trainer.eval_step, mesh=mesh)
+                           eval_step=trainer.eval_step, mesh=mesh,
+                           collect_features=bool(args.dump_embeddings))
     if res.metrics:
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in res.metrics.items()})
     if args.dump_embeddings:
-        from adfmsl.evaluation import produce_embeddings
-
-        emb = produce_embeddings(trainer.state, loader)
         extras = {}
         fmsl = trainer.state.params.get("fmsl")
         if fmsl is not None:
@@ -146,10 +150,10 @@ def main(argv=None) -> int:
                 if v is not None:
                     extras[name] = v / (np.linalg.norm(v, axis=-1, keepdims=True)
                                         + 1e-12)
-        np.savez(args.dump_embeddings, utt_ids=np.array(emb.utt_ids),
-                 features=emb.features, scores=emb.scores, **extras)
+        np.savez(args.dump_embeddings, utt_ids=np.array(res.utt_ids),
+                 features=res.features, scores=res.scores, **extras)
         logging.info("dumped %d embeddings (dim %d) to %s",
-                     len(emb.utt_ids), emb.features.shape[-1],
+                     len(res.utt_ids), res.features.shape[-1],
                      args.dump_embeddings)
     return 0
 

@@ -160,7 +160,7 @@ def main(argv=None) -> int:
                                              drop_last=False)
         res = evaluate_to_file(trainer.state, loader, args.eval_output,
                                labels=eval_proto.labels or None,
-                               eval_step=trainer.eval_step)
+                               eval_step=trainer.eval_step, mesh=mesh)
         if res.metrics:
             print({k: round(v, 6) if isinstance(v, float) else v
                    for k, v in res.metrics.items()})

@@ -31,18 +31,24 @@ class EvalResult:
     scores: np.ndarray
     n_nonfinite: int
     metrics: Optional[Dict[str, float]] = None
+    features: Optional[np.ndarray] = None   # (N, D) when collect_features
 
 
 def produce_scores(state: TrainState, loader: DataLoader,
-                   eval_step=None, mesh=None) -> EvalResult:
+                   eval_step=None, mesh=None,
+                   collect_features: bool = False) -> EvalResult:
     """Run batched inference over the loader; returns per-utterance scores in
     protocol order (masked padding rows dropped).
 
     With ``mesh``, each batch is sharded over the mesh's data axis (params are
     assumed already placed — replicated or TP-sharded via parallel.tp) so the
     71k-utterance protocol streams across all chips (SURVEY.md 2.9 eval sharding).
+
+    ``collect_features=True`` additionally gathers the models' pooled
+    embeddings in the SAME pass (one forward over the protocol, not two) —
+    used by adfmsl-eval --dump_embeddings.
     """
-    if eval_step is None:
+    if eval_step is None or collect_features:
         import jax.numpy as jnp
 
         def _step(state, audio, labels, mask):
@@ -50,8 +56,11 @@ def produce_scores(state: TrainState, loader: DataLoader,
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
             out = state.apply_fn(variables, audio, train=False)
-            return {"scores": out["scores"], "correct": jnp.array(0),
-                    "count": jnp.sum(mask)}
+            res = {"scores": out["scores"], "correct": jnp.array(0),
+                   "count": jnp.sum(mask)}
+            if collect_features:
+                res["features"] = out["features"]
+            return res
 
         eval_step = jax.jit(_step)
 
@@ -95,24 +104,34 @@ def produce_scores(state: TrainState, loader: DataLoader,
                     "correct": out1["correct"] + out2["correct"],
                     "count": out1["count"] + out2["count"],
                 }
+                if collect_features:
+                    out["features"] = jnp.concatenate(
+                        [out1["features"], out2["features"]])
         # keep scores as device arrays: JAX's async dispatch pipelines the next
         # batch while this one computes (per-batch np.asarray would serialize on
         # the ~28 ms host<->device sync and dominate 71k-utterance protocols)
-        pending.append((out["scores"], batch.utt_ids, batch.mask))
+        pending.append((out["scores"], out.get("features"),
+                        batch.utt_ids, batch.mask))
 
-    for dev_scores, utt_ids, mask in pending:
+    feats: List[np.ndarray] = []
+    for dev_scores, dev_feats, utt_ids, mask in pending:
         s = np.asarray(dev_scores)
+        f = np.asarray(dev_feats) if dev_feats is not None else None
         bad = ~np.isfinite(s)
         if bad.any():
             n_bad += int(bad.sum())
             s = np.where(bad, -1e9, s)
-        for u, sc, m in zip(utt_ids, s, mask):
+        for i, (u, sc, m) in enumerate(zip(utt_ids, s, mask)):
             if m:
                 ids.append(u)
                 all_scores.append(sc)
+                if f is not None:
+                    feats.append(f[i])
     if n_bad:
         log.warning("replaced %d non-finite scores", n_bad)
-    return EvalResult(ids, np.asarray(all_scores, dtype=np.float64), n_bad)
+    return EvalResult(ids, np.asarray(all_scores, dtype=np.float64), n_bad,
+                      features=(np.asarray(feats, dtype=np.float32)
+                                if collect_features else None))
 
 
 @dataclass
@@ -122,44 +141,24 @@ class EmbeddingResult:
     scores: np.ndarray              # (N,)
 
 
-def produce_embeddings(state: TrainState, loader: DataLoader) -> EmbeddingResult:
+def produce_embeddings(state: TrainState, loader: DataLoader,
+                       mesh=None) -> EmbeddingResult:
     """Per-utterance pooled embeddings (the models' 'features' output) plus CM
     scores — the real-data input for the embedding-geometry figures. The
     reference analyzer synthesised its t-SNE/plateau panels from np.random
     (comprehensive_thesis_analyser.py:315-366); this computes the actual
-    geometry instead. Same async-dispatch pipelining as produce_scores."""
-    import jax.numpy as jnp
-
-    @jax.jit
-    def step(state, audio):
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-        out = state.apply_fn(variables, audio, train=False)
-        return out["features"], out["scores"]
-
-    pending = []
-    for batch in loader:
-        f, s = step(state, jnp.asarray(batch.audio))
-        pending.append((f, s, batch.utt_ids, batch.mask))
-    ids: List[str] = []
-    feats: List[np.ndarray] = []
-    scores: List[float] = []
-    for f, s, utt_ids, mask in pending:
-        f, s = np.asarray(f), np.asarray(s)
-        for u, fv, sc, m in zip(utt_ids, f, s, mask):
-            if m:
-                ids.append(u)
-                feats.append(fv)
-                scores.append(float(sc))
-    return EmbeddingResult(ids, np.asarray(feats, dtype=np.float32),
-                           np.asarray(scores, dtype=np.float64))
+    geometry instead. One forward pass (produce_scores collect_features),
+    mesh-shardable like scoring."""
+    res = produce_scores(state, loader, mesh=mesh, collect_features=True)
+    return EmbeddingResult(res.utt_ids, res.features, res.scores)
 
 
 def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
                      labels: Optional[Dict[str, int]] = None,
-                     eval_step=None, mesh=None) -> EvalResult:
-    res = produce_scores(state, loader, eval_step, mesh=mesh)
+                     eval_step=None, mesh=None,
+                     collect_features: bool = False) -> EvalResult:
+    res = produce_scores(state, loader, eval_step, mesh=mesh,
+                         collect_features=collect_features)
     n = write_score_file(score_path, res.utt_ids, res.scores)
     log.info("wrote %d scores to %s", n, score_path)
     if labels:

@@ -193,17 +193,26 @@ class Trainer:
         return acc, eer
 
     def fit(self, num_epochs: Optional[int] = None) -> List[EpochMetrics]:
-        if (self.mesh is not None
-                and self.exp.train.batch_size % self.mesh.devices.shape[0]):
+        if self.mesh is not None:
             # Padded zero rows would otherwise enter BatchNorm BATCH statistics
             # on every training step (the loss is masked, BN is not) — a silent
             # accuracy bug, so reject instead of padding the train batches.
+            # Checks the ACTUAL loader (not just the config): batch size must
+            # tile the data axis and partial final batches must be dropped.
             # Eval-only mesh use is fine (eval uses running stats; checked here,
             # not in __init__, so adfmsl-eval --data_parallel keeps working).
-            raise ValueError(
-                f"train.batch_size={self.exp.train.batch_size} must be "
-                f"divisible by the data-parallel axis size "
-                f"{self.mesh.devices.shape[0]}")
+            n = self.mesh.devices.shape[0]
+            bs = getattr(self.train_loader, "batch_size",
+                         self.exp.train.batch_size)
+            if bs % n:
+                raise ValueError(
+                    f"train batch_size={bs} must be divisible by the "
+                    f"data-parallel axis size {n}")
+            if getattr(self.train_loader, "drop_last", True) is False:
+                raise ValueError(
+                    "mesh training requires drop_last=True on the train "
+                    "loader: a padded partial final batch would pollute "
+                    "BatchNorm batch statistics")
         n = num_epochs or self.exp.train.num_epochs
         stopper = None
         if self.exp.train.early_stop_patience > 0:
