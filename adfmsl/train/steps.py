@@ -54,14 +54,20 @@ def make_train_step(exp: ExperimentConfig, donate: bool = True,
                 dcfg.augment_snr_db_min, dcfg.augment_snr_db_max)
 
         def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            fwd = state.apply_fn
+            def fwd(params, audio):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                return state.apply_fn(variables, audio, labels=labels,
+                                      train=True, mask=mask, rngs=rngs,
+                                      mutable=["batch_stats"])
+
             if use_remat:
-                fwd = jax.checkpoint(fwd, static_argnums=())
-            out, mut = fwd(variables, audio, labels=labels, train=True, mask=mask,
-                           rngs=rngs, mutable=["batch_stats"])
+                # jax.checkpoint must see ONLY jax types as arguments — the
+                # static kwargs (mutable=[...] strings, train flag) stay in the
+                # closure; labels/mask/rngs close over as small saved constants
+                fwd = jax.checkpoint(fwd)
+            out, mut = fwd(params, audio)
             if "loss" in out:
                 loss = out["loss"]
             else:

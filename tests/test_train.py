@@ -231,3 +231,40 @@ def test_plateau_scheduler_scales_updates_in_opt_state():
                 zip(jax.tree_util.tree_leaves(live.params),
                     jax.tree_util.tree_leaves(state.params)))
     assert moved > 0.0
+
+
+def test_remat_train_step_matches_plain():
+    """train.remat=True (jax.checkpoint around the trunk forward) must produce
+    the same loss/update as the plain step — it trades FLOPs for memory, not
+    numerics. Regression: the checkpoint wrapper used to receive the static
+    flax kwargs (mutable=['batch_stats']) as traced arguments and crash."""
+    import jax
+    import numpy as np
+
+    from adfmsl.config import make_experiment
+    from adfmsl.models import build_model
+    from adfmsl.train import TrainState, make_optimizer
+    from adfmsl.train.steps import make_train_step
+
+    rng = np.random.default_rng(3)
+    x = np.asarray(rng.standard_normal((4, 4000)), dtype=np.float32)
+    labels = np.asarray([0, 1, 0, 1], dtype=np.int32)
+    mask = np.ones(4, dtype=bool)
+
+    losses = {}
+    for remat in (False, True):
+        exp = make_experiment("lcnn1d_lfcc")
+        exp.data.cut = 4000
+        exp.train.batch_size = 4
+        exp.train.remat = remat
+        exp.model.spec_augment.enabled = False
+        model = build_model(exp.model)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x[:2], train=False)
+        tx, _ = make_optimizer(exp, steps_per_epoch=1)
+        state = TrainState.create(model.apply, v["params"],
+                                  v.get("batch_stats"), tx)
+        step = make_train_step(exp, donate=False)
+        new_state, m = step(state, x, labels, mask, jax.random.PRNGKey(7))
+        losses[remat] = float(m["loss"])
+        assert np.isfinite(losses[remat])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
