@@ -59,6 +59,10 @@ class Wav2Vec2Config:
     fusion_layers: Optional[List[int]] = None     # e.g. [0, 6, 12, 18, 24]
     unfreeze_last_n: int = 0                      # partial unfreezing of encoder layers
     unfreeze_feature_extractor: bool = False
+    # per-layer jax.checkpoint in the encoder: training peak memory scales with
+    # one transformer layer instead of all of them (w2v2-large fine-tuning at
+    # larger batch on one chip); forward numerics unchanged
+    remat_layers: bool = False
 
 
 @dataclass

@@ -29,7 +29,10 @@ from adfmsl.heads.losses import cross_entropy, masked_mean
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    # rsqrt(sum(x^2)+eps) instead of x/max(norm, eps): the norm's VJP at an
+    # exactly-zero vector is NaN even though the forward is guarded (a dead-ReLU
+    # projection row would poison the whole batch gradient via the mean loss)
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
 
 
 def am_softmax_logits(embeddings: jnp.ndarray, weight: jnp.ndarray, s: float, m: float,
@@ -40,7 +43,10 @@ def am_softmax_logits(embeddings: jnp.ndarray, weight: jnp.ndarray, s: float, m:
     (fmsl_advanced.py:190-237), scaled by s."""
     cosine = embeddings @ l2_normalize(weight, axis=-1).T
     if train and labels is not None:
-        sine = jnp.sqrt(jnp.maximum(1.0 - jnp.clip(cosine**2, max=1.0), 0.0))
+        # floor keeps sqrt' finite at |cos|=1 — AM-softmax actively drives the
+        # target cosine toward 1, and an exactly-aligned embedding would emit
+        # inf/NaN gradients that leak through one_hot*phi into every class
+        sine = jnp.sqrt(jnp.clip(1.0 - cosine**2, min=1e-8, max=1.0))
         phi = cosine * math.cos(m) - sine * math.sin(m)
         one_hot = jax.nn.one_hot(labels, cosine.shape[-1], dtype=cosine.dtype)
         cosine = one_hot * phi + (1.0 - one_hot) * cosine

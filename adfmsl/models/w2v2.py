@@ -142,6 +142,11 @@ class Wav2Vec2Encoder(nn.Module):
     arch: W2V2Arch = field(default_factory=W2V2Arch.base)
     normalize_input: bool = True
     dropout_rate: float = 0.0
+    # jax.checkpoint each transformer layer: activations are recomputed in the
+    # backward pass so training peak memory scales with ONE layer instead of
+    # num_layers — the lever that fits w2v2-large fine-tuning at larger batch
+    # on a single chip (param trees are unchanged; ports stay compatible).
+    remat_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,9 +168,13 @@ class Wav2Vec2Encoder(nn.Module):
             h = nn.LayerNorm(epsilon=a.layer_norm_eps, name="encoder_layer_norm")(h)
 
         hidden_states = [h]
+        # static_argnums=(2,): 'train' (0 = module, 1 = h) must stay a Python
+        # bool inside the checkpointed fn (dropout branches on it)
+        layer_cls = (nn.remat(_EncoderLayer, static_argnums=(2,))
+                     if self.remat_layers else _EncoderLayer)
         for i in range(a.num_layers):
-            h = _EncoderLayer(a, self.dropout_rate, dtype=self.dtype,
-                              name=f"layers_{i}")(h, train=train)
+            h = layer_cls(a, self.dropout_rate, dtype=self.dtype,
+                          name=f"layers_{i}")(h, train)
             hidden_states.append(h)
         if a.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=a.layer_norm_eps, name="encoder_layer_norm")(h)

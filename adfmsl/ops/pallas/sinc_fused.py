@@ -40,25 +40,20 @@ _SUBS = 48   # conv sub-blocks per tile: 48*128/3 = 2048 pooled positions/tile;
 
 
 def _build_m(filters: jnp.ndarray, c_tile: int):
-    """(C, K) filters -> (nj, BLOCK, n_ctiles, BLOCK*c_tile) bf16 block-Toeplitz
-    weights with channel-tiled columns (col = p*c_tile + c within a tile)."""
-    c, k = filters.shape
-    nj = (_BLOCK + k - 1 + _BLOCK - 1) // _BLOCK
-    p_idx = jnp.arange(_BLOCK)[:, None]
-    i_idx = jnp.arange(_BLOCK)[None, :]
-    f_t = filters.T                                     # (K, C)
-    mats = []
-    for j in range(nj):
-        k_idx = j * _BLOCK + p_idx - i_idx
-        valid = (k_idx >= 0) & (k_idx < k)
-        mj = jnp.take(f_t, jnp.clip(k_idx, 0, k - 1), axis=0)       # (B, B, C)
-        mj = jnp.where(valid[:, :, None], mj, 0.0)
-        # channel-tile the last axis: (B, B, n_ct, c_tile) -> (B, n_ct, B*c_tile)
-        n_ct = c // c_tile
-        mj = mj.reshape(_BLOCK, _BLOCK, n_ct, c_tile).transpose(0, 2, 1, 3)
-        mats.append(mj.reshape(_BLOCK, n_ct, _BLOCK * c_tile))
-    m = jnp.stack(mats)                                  # (nj, B, n_ct, B*ct)
-    return jnp.transpose(m, (2, 0, 1, 3)).astype(jnp.bfloat16)  # (n_ct, nj, B, B*ct)
+    """(C, K) filters -> (n_ctiles, nj, BLOCK, BLOCK*c_tile) bf16 block-Toeplitz
+    weights with channel-tiled columns (col = p*c_tile + c within a tile).
+    The gather/mask logic lives in ops.sinc.block_toeplitz_mats — shared with
+    the XLA block-GEMM so this kernel and its custom-VJP backward (which
+    recomputes through the XLA form) can never desynchronise."""
+    from adfmsl.ops.sinc import block_toeplitz_mats
+
+    c, _ = filters.shape
+    n_ct = c // c_tile
+    m = block_toeplitz_mats(filters, _BLOCK)             # (nj, B, B, C)
+    nj = m.shape[0]
+    # channel-tile the last axis: (nj, B, B, n_ct, ct) -> (n_ct, nj, B, B*ct)
+    m = m.reshape(nj, _BLOCK, _BLOCK, n_ct, c_tile).transpose(3, 0, 1, 2, 4)
+    return m.reshape(n_ct, nj, _BLOCK, _BLOCK * c_tile).astype(jnp.bfloat16)
 
 
 def _kernel(x_hbm, m_ref, out_ref, scratch, sem, *, nj, c_tile):

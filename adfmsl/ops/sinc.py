@@ -7,9 +7,11 @@ and the convolution maps to an XLA conv that tiles onto the MXU.
 
 Parity note: the reference computes ``2*f * torch.sinc(2*f*pi*n)`` where
 ``torch.sinc(x) = sin(pi x)/(pi x)`` — i.e. the pi lands INSIDE the normalised sinc,
-scaling the effective cutoff by pi vs the textbook band-pass. ``formula='reference'``
-(default) reproduces that behaviour exactly so learned filters match; 'textbook' gives
-the standard windowed-sinc band-pass.
+scaling the effective cutoff by pi vs the textbook band-pass.
+``formula='textbook'`` (default, matching every config/model wrapper and
+CLAUDE.md) gives the standard windowed-sinc band-pass; ``'reference'``
+reproduces the reference's (nearly flat) behaviour bit-for-bit for ported
+checkpoints.
 """
 from __future__ import annotations
 
@@ -20,15 +22,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from adfmsl.ops.mel import hz_to_mel, mel_to_hz
 from adfmsl.ops.window import hann
 
 
 def to_mel(hz):
-    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+    """HTK mel (the canonical formula lives in ops/mel.py)."""
+    return hz_to_mel(hz, htk=True)
 
 
 def to_hz(mel):
-    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+    return mel_to_hz(mel, htk=True)
 
 
 def sinc_init(out_channels: int, sample_rate: int = 16000, min_low_hz: float = 50.0,
@@ -49,7 +53,7 @@ def _nsinc(x):
 
 def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray, kernel_size: int,
                  sample_rate: int = 16000, min_low_hz: float = 50.0,
-                 min_band_hz: float = 50.0, formula: str = "reference") -> jnp.ndarray:
+                 min_band_hz: float = 50.0, formula: str = "textbook") -> jnp.ndarray:
     """Synthesize (out_channels, kernel_size) band-pass filters from learnable params."""
     if kernel_size % 2 == 0:
         kernel_size += 1
@@ -77,6 +81,28 @@ def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray, kernel_size: int,
     return window[None, :] * (h_hi - h_lo)
 
 
+def block_toeplitz_mats(filters: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """(C, K) filters -> (nj, block, block, C) block-Toeplitz weights
+    M[j, p, i, c] = filters[c, j*block + p - i] (zero outside [0, K)).
+
+    THE single source of the gather/mask logic shared by the XLA block-GEMM
+    (below) and the Pallas fused kernel (ops/pallas/sinc_fused.py) — the fused
+    kernel's custom VJP recomputes its backward through the XLA form, so the
+    two must stay bit-identical."""
+    c, k = filters.shape
+    nj = (block + k - 1 + block - 1) // block
+    p = jnp.arange(block)[:, None]
+    i = jnp.arange(block)[None, :]
+    f_t = filters.T                                 # (K, C)
+    mats = []
+    for j in range(nj):
+        k_idx = j * block + p - i                   # (block, block)
+        valid = (k_idx >= 0) & (k_idx < k)
+        mj = jnp.take(f_t, jnp.clip(k_idx, 0, k - 1), axis=0)   # (block, block, C)
+        mats.append(jnp.where(valid[:, :, None], mj, 0.0))
+    return jnp.stack(mats)
+
+
 def sinc_conv_block_gemm(x: jnp.ndarray, filters: jnp.ndarray,
                          block: int = 128) -> jnp.ndarray:
     """GEMM-native stride-1 'VALID' filterbank conv: (B, T) x (C, K) -> (B, C, T').
@@ -102,20 +128,11 @@ def sinc_conv_block_gemm(x: jnp.ndarray, filters: jnp.ndarray,
     xp = jnp.pad(x, [(0, 0), (0, max(t_pad - t, 0))])
     xb = xp.reshape(b, n_ob + nj - 1, block)        # (B, NB, block)
 
-    # M[j, p, i, c] = filters[c, j*block + p - i]
-    p = jnp.arange(block)[:, None]
-    i = jnp.arange(block)[None, :]
-    f_t = filters.T                                 # (K, C)
-    mats = []
-    for j in range(nj):
-        k_idx = j * block + p - i                   # (block, block)
-        valid = (k_idx >= 0) & (k_idx < k)
-        mj = jnp.take(f_t, jnp.clip(k_idx, 0, k - 1), axis=0)   # (block, block, C)
-        mj = jnp.where(valid[:, :, None], mj, 0.0)
-        mats.append(mj.reshape(block, block * c))
+    mats = block_toeplitz_mats(filters, block)      # (nj, block, block, C)
     out = None
     for j in range(nj):
-        contrib = jnp.matmul(xb[:, j : j + n_ob, :], mats[j],
+        contrib = jnp.matmul(xb[:, j : j + n_ob, :],
+                             mats[j].reshape(block, block * c),
                              preferred_element_type=jnp.float32)
         out = contrib if out is None else out + contrib
     out = out.reshape(b, n_ob * block, c)[:, :t_out, :]         # (B, T', C)

@@ -25,7 +25,10 @@ def _mask_axis(key, x, axis_size: int, param: int, n_masks: int, semantics: str,
     for i in range(n_masks):
         k1, k2, key = jax.random.split(jax.random.fold_in(key, i), 3)
         if semantics == "torchaudio":
-            v = jax.random.randint(k1, (b, 1), 0, max(param, 1))
+            # clamp the width to the axis: param > axis_size would make
+            # (axis_size - v + 1) negative and start go negative, silently
+            # skewing the mask distribution (torchaudio rejects this config)
+            v = jax.random.randint(k1, (b, 1), 0, max(min(param, axis_size), 1))
             start = jnp.floor(
                 jax.random.uniform(k2, (b, 1)) * (axis_size - v + 1)
             ).astype(jnp.int32)

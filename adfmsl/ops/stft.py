@@ -70,10 +70,10 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
     (frames x win) matrix is never materialised in HBM — the MXU consumes the raw
     waveform directly. Numerically identical to stft_matmul.
 
-    x: (B, T) or (T,) -> (..., frames, bins)."""
-    squeeze = x.ndim == 1
-    if squeeze:
-        x = x[None]
+    x: (..., T) -> (..., frames, bins) (leading dims flattened into the conv
+    batch and restored)."""
+    lead = x.shape[:-1]
+    x = x.reshape((-1, x.shape[-1]))                     # (B*, T)
     if center:
         pad = win_length // 2
         x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
@@ -85,11 +85,11 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
         dimension_numbers=("NHC", "HIO", "NHC"),
         precision=resolve_precision(precision),
         preferred_element_type=jnp.float32,
-    )                                                   # (B, frames, 2K)
+    )                                                   # (B*, frames, 2K)
     n_bins = n_fft // 2 + 1
     re, im = out[..., :n_bins], out[..., n_bins:]
     p = re * re + im * im
-    return p[0] if squeeze else p
+    return p.reshape(lead + p.shape[1:])
 
 
 def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,

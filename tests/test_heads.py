@@ -125,3 +125,27 @@ def test_fmsl_lsa_changes_embeddings():
     a = np.asarray(_head_outputs(base, labels, train=True)["embeddings"])
     b = np.asarray(_head_outputs(lsa, labels, train=True)["embeddings"])
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_gradients_finite_at_degenerate_points():
+    """NaN-gradient regressions: (a) l2_normalize of an exactly-zero vector
+    (dead-ReLU projection row) had a NaN VJP; (b) am_softmax margin at
+    |cos|=1 (AM-softmax drives the target cosine there) emitted inf/NaN that
+    leaked through one_hot*phi into every class."""
+    import jax
+
+    from adfmsl.heads.fmsl import am_softmax_logits, l2_normalize
+
+    g = jax.grad(lambda x: l2_normalize(x).sum())(jnp.zeros(4))
+    assert np.isfinite(np.asarray(g)).all()
+
+    w = jnp.eye(4)
+    emb = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])       # exactly aligned to class 0
+    labels = jnp.asarray([0])
+
+    def loss(e):
+        return am_softmax_logits(l2_normalize(e), w, s=32.0, m=0.45,
+                                 labels=labels, train=True).sum()
+
+    g = jax.grad(loss)(emb)
+    assert np.isfinite(np.asarray(g)).all()

@@ -218,3 +218,16 @@ def test_sinc_conv_block_gemm_matches_direct():
     # differentiable
     g = jax.grad(lambda f: jnp.sum(sinc_conv_block_gemm(x2, f) ** 2))(f)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_lfcc_leading_batch_dims():
+    """lfcc/power_spectrogram accept (..., T) per their contract — the default
+    conv impl used to crash on >2-D inputs (hard-coded 2-D padding)."""
+    from adfmsl.ops.lfcc import lfcc
+
+    x = jnp.asarray(RNG.standard_normal((2, 3, 8000)).astype(np.float32))
+    out = lfcc(x)
+    ref = lfcc(x.reshape(6, 8000)).reshape(out.shape)
+    assert out.shape[:2] == (2, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -92,3 +92,28 @@ def test_w2v2_full_base_arch_parity():
         t_ref = out.hidden_states[i].numpy()
         np.testing.assert_allclose(np.asarray(hs[i]), t_ref,
                                    atol=2e-4 * max(np.abs(t_ref).max(), 1.0))
+
+
+def test_remat_layers_same_params_and_outputs():
+    """remat_layers=True must change neither the param tree (ports stay
+    compatible) nor forward numerics — only backward memory behavior."""
+    import jax
+
+    arch = W2V2Arch.tiny()
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 4000)).astype(np.float32))
+    enc = Wav2Vec2Encoder(arch=arch)
+    enc_r = Wav2Vec2Encoder(arch=arch, remat_layers=True)
+    v = enc.init({"params": jax.random.PRNGKey(0)}, x)
+    v_r = enc_r.init({"params": jax.random.PRNGKey(0)}, x)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v_r["params"]))
+    out = enc.apply(v, x)
+    out_r = enc_r.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+
+    # gradients flow through the checkpointed layers
+    g = jax.grad(lambda p: enc_r.apply({"params": p}, x, train=False).sum())(
+        v["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
