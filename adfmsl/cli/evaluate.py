@@ -123,7 +123,8 @@ def main(argv=None) -> int:
                          devices=jax.devices()[: args.data_parallel])
     # Trainer(mesh=...) replicates params/batch_stats/opt_state over the mesh;
     # orbax restore preserves that placement (train/checkpoint.py template).
-    trainer = Trainer(exp, loader, checkpoint_dir=args.model_path, mesh=mesh)
+    trainer = Trainer(exp, loader, checkpoint_dir=args.model_path, mesh=mesh,
+                      persist_config=False)   # never clobber the ckpt's config
     if args.model_path:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)
         logging.info("restored %s epoch %d", args.model_path, epoch)

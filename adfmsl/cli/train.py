@@ -140,7 +140,8 @@ def main(argv=None) -> int:
 
     trainer = Trainer(exp, train_loader, dev_loader,
                       checkpoint_dir=args.checkpoint_dir,
-                      metric_hook=metric_hook, mesh=mesh)
+                      metric_hook=metric_hook, mesh=mesh,
+                      persist_config=not args.eval)
     if args.restore and args.checkpoint_dir:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)
         logging.info("restored checkpoint epoch %d", epoch)

@@ -37,8 +37,10 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_fmt, n_ch, sr, _, _, bits = fmt
-    if audio_fmt == 3:  # IEEE float
+    if audio_fmt == 3 and bits == 32:   # IEEE float32
         x = np.frombuffer(raw, dtype=np.float32).astype(np.float32)
+    elif audio_fmt == 3 and bits == 64:  # IEEE float64 (scipy.io.wavfile output)
+        x = np.frombuffer(raw, dtype=np.float64).astype(np.float32)
     elif audio_fmt == 1 and bits in _PCM_DTYPES:
         x = np.frombuffer(raw, dtype=_PCM_DTYPES[bits]).astype(np.float32)
         if bits == 8:

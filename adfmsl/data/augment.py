@@ -44,6 +44,12 @@ def rir_reverb(x: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
     if rir.ndim == 1:
         rir = jnp.broadcast_to(rir[None, :], (x.shape[0], rir.shape[0]))
     r = rir.shape[-1]
+    # peak-align: measured RIRs carry pre-delay (peak at k>0) which would shift
+    # the whole waveform by k samples; rotate each RIR so its peak sits at 0
+    # (synthetic_rir already peaks at 0 — the roll is then a no-op)
+    peak = jnp.argmax(jnp.abs(rir), axis=-1)                 # (B,)
+    idx = (jnp.arange(r)[None, :] + peak[:, None]) % r
+    rir = jnp.take_along_axis(rir, idx, axis=-1)
     n = int(2 ** np.ceil(np.log2(t + r - 1)))
     X = jnp.fft.rfft(x, n=n)
     H = jnp.fft.rfft(rir, n=n)

@@ -189,6 +189,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.epoch = 0
         ids = dataset.protocol.utt_ids
+        if num_shards > 1:
+            # equal-length shards: a host with one extra utterance would run
+            # one more (or fewer) batch than its peers and hang the collective
+            # inside the jitted step. Tail utterances beyond an even split are
+            # dropped (training concern; exact-count eval uses the single-
+            # loader mesh path in evaluation/runner.py).
+            n_even = (len(ids) // num_shards) * num_shards
+            if n_even < len(ids):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "host sharding drops %d tail utterances for equal shards",
+                    len(ids) - n_even)
+            ids = ids[:n_even]
         self.ids = ids[shard_index::num_shards]
 
     def _epoch_ids(self) -> List[str]:
@@ -219,16 +233,29 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that keeps checking stop — a worker blocked forever
+            in q.put() would never see an early-abandoning consumer (e.g.
+            next(iter(loader))) and leak the thread + prefetched batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for c in chunks:
                     if stop.is_set():
                         return
-                    q.put(_make_batch(self.ds, c, self.batch_size))
+                    if not put(_make_batch(self.ds, c, self.batch_size)):
+                        return
             except Exception as e:  # surface decoder errors on the consumer side
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -51,7 +51,10 @@ def parse_protocol(path: str, polarity: str = "bonafide1") -> Protocol:
             line = line.strip()
             if not line:
                 continue
-            parts = line.split(" ")
+            # whitespace split, not a single literal space: double-spaced or
+            # tab-separated protocol exports would silently shift columns
+            # (wrong labels) or parse every row as a bare unlabeled id
+            parts = line.split()
             if len(parts) == 1:
                 entries.append(ProtocolEntry("", parts[0], "-", None))
                 continue

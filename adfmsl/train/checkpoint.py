@@ -22,9 +22,24 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.metric = metric
+
+        def best_fn(m):
+            # NaN (no dev set) or missing metrics must rank WORST, not sort
+            # arbitrarily / beat every real value — otherwise best-k retention
+            # keeps an arbitrary epoch and may delete the newest checkpoint.
+            # Among metric-less checkpoints the NEWEST wins (epoch tiebreak),
+            # so training without a dev set degrades to keep-latest.
+            import math
+
+            v = m.get(metric)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                e = m.get("_epoch", 0.0)
+                return (-1e30 + e) if mode == "max" else (1e30 - e)
+            return v
+
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max(keep_best_k, keep_last),
-            best_fn=(lambda m: m.get(metric, 0.0)),
+            best_fn=best_fn,
             best_mode=mode,
             create=True,
         )
@@ -33,8 +48,9 @@ class CheckpointManager:
     def save(self, epoch: int, state: TrainState, metrics: Dict[str, float]) -> None:
         payload = {"params": state.params, "batch_stats": state.batch_stats,
                    "opt_state": state.opt_state, "step": state.step}
-        self._mgr.save(epoch, args=ocp.args.StandardSave(payload),
-                       metrics={k: float(v) for k, v in metrics.items()})
+        md = {k: float(v) for k, v in metrics.items()}
+        md["_epoch"] = float(epoch)        # best_fn tiebreak for NaN metrics
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload), metrics=md)
         self._mgr.wait_until_finished()
 
     def restore(self, state: TrainState, epoch: Optional[int] = None

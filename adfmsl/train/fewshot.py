@@ -71,6 +71,10 @@ class FewshotTrainer:
             protocol, lambda u: dataset.load(u)[0], fcfg.n_way, fcfg.k_shot,
             fcfg.q_queries, fcfg.episodes_per_batch, exp.train.seed)
         self.history: List[Dict[str, float]] = []
+        # ONE jitted scorer reused by score()/score_protocol(): a fresh
+        # jit(lambda) per call would retrace the full trunk every invocation
+        self._score_fn = jax.jit(lambda p, a, protos: prototype_scores(
+            self.embed, p, a, protos, temperature=self.fcfg.temperature))
 
     def fit(self, n_steps: Optional[int] = None) -> List[Dict[str, float]]:
         n = n_steps or self.fcfg.n_steps
@@ -96,16 +100,13 @@ class FewshotTrainer:
                            jnp.asarray(support_labels), n_classes)
 
     def score(self, audio: np.ndarray, prototypes: jnp.ndarray) -> np.ndarray:
-        fn = jax.jit(lambda p, a: prototype_scores(
-            self.embed, p, a, prototypes, temperature=self.fcfg.temperature))
-        return np.asarray(fn(self.params, jnp.asarray(audio)))
+        return np.asarray(self._score_fn(self.params, jnp.asarray(audio),
+                                         prototypes))
 
     def score_protocol(self, dataset: AsvspoofDataset, prototypes: jnp.ndarray,
                       batch_size: int = 32) -> Dict[str, float]:
         """CM scores for every utterance in the dataset's protocol."""
         utts = dataset.protocol.utt_ids
-        fn = jax.jit(lambda p, a: prototype_scores(
-            self.embed, p, a, prototypes, temperature=self.fcfg.temperature))
         out: Dict[str, float] = {}
         for i in range(0, len(utts), batch_size):
             chunk = utts[i : i + batch_size]
@@ -113,7 +114,8 @@ class FewshotTrainer:
             pad = batch_size - len(chunk)
             if pad:
                 audio = np.pad(audio, [(0, pad), (0, 0)])
-            s = np.asarray(fn(self.params, jnp.asarray(audio)))
+            s = np.asarray(self._score_fn(self.params, jnp.asarray(audio),
+                                          prototypes))
             for u, sc in zip(chunk, s):
                 out[u] = float(sc)
         return out

@@ -46,7 +46,8 @@ class Trainer:
                  dev_loader: Optional[DataLoader] = None,
                  checkpoint_dir: Optional[str] = None,
                  metric_hook: Optional[Callable[[EpochMetrics], None]] = None,
-                 noise_bank=None, rir_bank=None, mesh=None):
+                 noise_bank=None, rir_bank=None, mesh=None,
+                 persist_config: bool = True):
         self.exp = exp
         self.train_loader = train_loader
         self.dev_loader = dev_loader
@@ -89,9 +90,12 @@ class Trainer:
                                        metric=exp.train.early_stop_metric,
                                        mode=exp.train.early_stop_mode)
                      if checkpoint_dir else None)
-        if checkpoint_dir:
+        if checkpoint_dir and persist_config:
             # persist the experiment config beside the checkpoints (the reference's
-            # rich-dict checkpoints carry 'config', maze3.py:850-880)
+            # rich-dict checkpoints carry 'config', maze3.py:850-880).
+            # persist_config=False for eval-time construction: the eval CLI
+            # mutates exp (cut, fused front end) and must NOT clobber the
+            # checkpoint's saved training config.
             import os
 
             from adfmsl.config.yaml_io import save_yaml
@@ -173,16 +177,23 @@ class Trainer:
         maze3's in-training metric computation (maze3.py:809-848)."""
         from adfmsl.evaluation.metrics import compute_eer
 
-        correct, count = 0.0, 0.0
-        scores, labels = [], []
+        # accumulate on device, drain ONCE after the loop: per-batch float()/
+        # np.asarray() would cost a ~28 ms host<->device sync each on the
+        # tunneled backend (same pattern as train_epoch / runner.produce_scores)
+        pending = []
         for batch in loader:
             audio, label, mask = self._place(batch)
             with self._mesh_ctx():
                 out = self.eval_step(self.state, audio, label, mask)
-            correct += float(out["correct"])
-            count += float(out["count"])
-            s = np.asarray(out["scores"])
-            for sc, y, m in zip(s, batch.label, batch.mask):
+            pending.append((out["correct"], out["count"], out["scores"],
+                            batch.label, batch.mask))
+        host = jax.device_get([(dc, dn, ds) for dc, dn, ds, _, _ in pending])
+        correct, count = 0.0, 0.0
+        scores, labels = [], []
+        for (dc, dn, s), (_, _, _, blabel, bmask) in zip(host, pending):
+            correct += float(dc)
+            count += float(dn)
+            for sc, y, m in zip(s, blabel, bmask):
                 if m:
                     scores.append(float(sc))
                     labels.append(int(y))
