@@ -18,7 +18,10 @@ from adfmsl.evaluation.scores import join_scores_with_labels, read_score_file
 
 # maze5_fmsl_scores.txt / main_scores.txt / maze3_eval_scores.txt ... (reference
 # regex mapping, score_file_processor.py:97-137)
-_NAME_RE = re.compile(r"(main|maze\d+)(?:_(fmsl))?", re.IGNORECASE)
+# boundaries: 'cross_domain_scores.txt' must not match 'main',
+# 'remainder' must not match 'main' either
+_NAME_RE = re.compile(r"(?<![a-z0-9])(main|maze\d+)(?:_(fmsl))?(?![a-z0-9])",
+                      re.IGNORECASE)
 
 
 def model_name_from_filename(fname: str) -> Optional[str]:
@@ -66,7 +69,10 @@ class ScoreFileProcessor:
                     continue
                 name = model_name_from_filename(f)
                 if name:
-                    found[name] = os.path.join(root, f)
+                    path = os.path.join(root, f)
+                    prev = found.get(name)
+                    if prev is None or os.path.getmtime(path) >= os.path.getmtime(prev):
+                        found[name] = path   # newest wins on collision
         return found
 
     def process_all_scores(self) -> ProcessedScores:

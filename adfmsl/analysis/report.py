@@ -51,7 +51,7 @@ def results_latex(per_model: Dict[str, Dict]) -> str:
     for name in sorted(per_model):
         m = per_model[name]
         vals = " & ".join(f"{m.get(c, float('nan')):.4f}" for c in _COLS)
-        lines.append(f"{name.replace('_', r'_')} & {vals} \\\\")
+        lines.append(f"{name.replace('_', chr(92) + '_')} & {vals} \\\\")
     lines += [r"\bottomrule", r"\end{tabular}"]
     return "\n".join(lines)
 

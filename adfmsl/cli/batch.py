@@ -65,15 +65,27 @@ def main(argv=None) -> int:
     scores_dir = os.path.join(args.output_dir, "scores")
     os.makedirs(scores_dir, exist_ok=True)
 
-    train_proto = parse_protocol(args.train_protocol)
-    dev_proto = parse_protocol(args.dev_protocol) if args.dev_protocol else None
-    eval_proto = parse_protocol(args.eval_protocol)
+    # protocols are parsed per polarity AFTER overrides apply — a YAML
+    # `data.label_polarity: spoof1` override must reach the parser
+    proto_cache = {}
 
+    def protos_for(polarity):
+        if polarity not in proto_cache:
+            proto_cache[polarity] = (
+                parse_protocol(args.train_protocol, polarity),
+                parse_protocol(args.dev_protocol, polarity)
+                if args.dev_protocol else None,
+                parse_protocol(args.eval_protocol, polarity))
+        return proto_cache[polarity]
+
+    last_polarity = "bonafide1"
     for name in models:
         logging.info("=== training %s ===", name)
         exp = make_experiment(name, drift=not args.no_drift)
         _apply(exp, plan.get("overrides"))
         _apply(exp, (plan.get("per_model") or {}).get(name))
+        train_proto, dev_proto, eval_proto = protos_for(exp.data.label_polarity)
+        last_polarity = exp.data.label_polarity
         train_loader = make_dataset_and_loader(exp, train_proto, args.train_dir,
                                                shuffle=True)
         dev_loader = None
@@ -91,7 +103,7 @@ def main(argv=None) -> int:
                          os.path.join(scores_dir, f"{name}_scores.txt"),
                          eval_step=trainer.eval_step)
 
-    proc = ScoreFileProcessor(scores_dir, args.eval_protocol)
+    proc = ScoreFileProcessor(scores_dir, args.eval_protocol, last_polarity)
     processed = proc.process_all_scores()
     proc.export_for_thesis_analysis(
         processed, os.path.join(args.output_dir, "processed_performance_data.json"))

@@ -67,21 +67,26 @@ def main(argv=None) -> int:
                                pad_mode=exp.data.pad_mode)
     labels = adapt_proto.labels
     rng = np.random.default_rng(exp.train.seed)
-    support, sup_labels = [], []
+    support, sup_labels, sup_ids = [], [], set()
     for cls in (0, 1):
         utts = [u for u in adapt_proto.utt_ids if labels.get(u) == cls]
         rng.shuffle(utts)
         for u in utts[: args.k_shot]:
             support.append(adapt_ds.load(u)[0])
             sup_labels.append(cls)
+            sup_ids.add(u)
     protos = trainer.adapt(np.stack(support), np.asarray(sup_labels))
     logging.info("adapted %d-shot prototypes from %d support utts", args.k_shot,
                  len(sup_labels))
 
-    scores = trainer.score_protocol(adapt_ds, protos)
+    # score/report only the HELD-OUT utterances: the K support samples defined
+    # the prototypes and would score near-perfectly, biasing the metrics
+    scores = {u: s for u, s in trainer.score_protocol(adapt_ds, protos).items()
+              if u not in sup_ids}
     write_score_file(args.output, list(scores), list(scores.values()))
     y = np.asarray([labels[u] for u in scores])
     m = compute_all_metrics(np.asarray(list(scores.values())), y)
+    m["n_support_excluded"] = len(sup_ids)
     print({k: round(v, 6) if isinstance(v, float) else v for k, v in m.items()})
     return 0
 

@@ -144,6 +144,7 @@ def main(argv=None) -> int:
                       persist_config=not args.eval)
     if args.restore and args.checkpoint_dir:
         trainer.state, epoch = trainer.ckpt.restore(trainer.state)
+        trainer.epochs_run = epoch + 1     # resume epoch numbering/RNG streams
         logging.info("restored checkpoint epoch %d", epoch)
 
     if args.eval:

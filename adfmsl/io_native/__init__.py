@@ -101,6 +101,11 @@ def batch_decode_pad(
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         0 if pad_mode == "tile" else 1, n_threads,
     )
-    if rc != 0:
+    if rc < 0:
         raise RuntimeError(f"batch decode failed (rc={rc})")
+    if rc > 0:   # corrupt files were zero-filled (reference failure tolerance)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batch decode: %d corrupt file(s) zero-filled", rc)
     return out, srs, lens

@@ -402,15 +402,67 @@ int64_t decode_file(const char* path, std::vector<float>* mono,
   return decode_wav(data.data(), data.size(), mono, sample_rate);
 }
 
+// Header-only length probe: STREAMINFO total_samples (FLAC) / data-chunk frame
+// count (WAV). Returns -1 when the header does not carry the length (legal for
+// FLAC streams with total_samples == 0) — caller falls back to a full decode.
+int64_t header_len(const uint8_t* p, size_t n) {
+  if (n >= 4 && memcmp(p, "fLaC", 4) == 0) {
+    StreamInfo si;
+    size_t off = 0;
+    if (!parse_stream_info(p, n, &si, &off)) return -2;
+    return si.total_samples ? int64_t(si.total_samples) : -1;
+  }
+  if (n < 44 || memcmp(p, "RIFF", 4) != 0 || memcmp(p + 8, "WAVE", 4) != 0)
+    return -2;
+  size_t pos = 12;
+  uint16_t n_ch = 0, bits = 0;
+  size_t pcm_len = 0;
+  auto rd16 = [&](size_t o) { return uint16_t(p[o] | (p[o + 1] << 8)); };
+  auto rd32 = [&](size_t o) {
+    return uint32_t(p[o] | (p[o + 1] << 8) | (p[o + 2] << 16) | (p[o + 3] << 24));
+  };
+  while (pos + 8 <= n) {
+    uint32_t len = rd32(pos + 4);
+    if (memcmp(p + pos, "fmt ", 4) == 0 && pos + 8 + 16 <= n) {
+      n_ch = rd16(pos + 10);
+      bits = rd16(pos + 22);
+    } else if (memcmp(p + pos, "data", 4) == 0) {
+      pcm_len = std::min(size_t(len), n - pos - 8);
+    }
+    pos += 8 + len + (len & 1);
+  }
+  if (!n_ch || !bits || !pcm_len) return -2;
+  return int64_t(pcm_len / (size_t(n_ch) * (bits / 8)));
+}
+
 }  // namespace
 
 // --------------------------------------------------------------------- C ABI ----
 extern "C" {
 
 int64_t adfmsl_decode_len(const char* path) {
-  std::vector<float> mono;
-  int32_t sr = 0;
-  return decode_file(path, &mono, &sr);
+  // was: a FULL decode just to learn the length (doubling per-utterance host
+  // decode cost on the hot path). Header-only now; full decode only as the
+  // fallback for length-less FLAC streams.
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0) { fclose(f); return -1; }
+  std::vector<uint8_t> data(static_cast<size_t>(sz));
+  size_t got = fread(data.data(), 1, size_t(sz), f);
+  fclose(f);
+  if (got != size_t(sz)) return -1;
+  int64_t n = header_len(data.data(), data.size());
+  if (n >= 0) return n;
+  if (n == -1) {  // unknown-length FLAC: decode to count
+    std::vector<float> mono;
+    int32_t sr = 0;
+    if (memcmp(data.data(), "fLaC", 4) == 0)
+      return decode_flac(data.data(), data.size(), &mono, &sr);
+  }
+  return n;
 }
 
 int64_t adfmsl_decode(const char* path, float* out, int64_t capacity,
@@ -468,7 +520,9 @@ int32_t adfmsl_batch_decode_pad(const char** paths, int32_t n, float* out,
   for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
   worker();
   for (auto& th : threads) th.join();
-  return 0;
+  // >= 0: number of corrupt files zero-filled (missing files are the
+  // reference's by-design tolerance and are not counted here)
+  return failures.load();
 }
 
 }  // extern "C"

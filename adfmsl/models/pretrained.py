@@ -37,18 +37,24 @@ def save_native(params: Dict[str, Any], path: str) -> None:
         fh.write(flax.serialization.msgpack_serialize(params))
 
 
-def load_native(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+def load_native(path: str,
+                template: Dict[str, Any] | None = None) -> Dict[str, Any]:
+    """Restore a msgpack param tree; with ``template``, restore INTO its
+    structure (flax from_bytes validates leaf shapes/structure against it)."""
     import flax.serialization
 
     with open(path, "rb") as fh:
-        return flax.serialization.msgpack_restore(fh.read())
+        raw = fh.read()
+    if template:
+        return flax.serialization.from_bytes(template, raw)
+    return flax.serialization.msgpack_restore(raw)
 
 
 def load_w2v2_params(path: str, cfg: Wav2Vec2Config,
                      template: Dict[str, Any] | None = None) -> Dict[str, Any]:
     """Load a w2v2 param tree from any supported local format."""
     if path.endswith(".msgpack"):
-        return load_native(path, template or {})
+        return load_native(path, template)
     return load_pretrained(path, arch_for(cfg))
 
 

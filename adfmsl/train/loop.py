@@ -103,6 +103,7 @@ class Trainer:
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_yaml(exp, os.path.join(checkpoint_dir, "experiment.yaml"))
         self.history: List[EpochMetrics] = []
+        self.epochs_run = 0              # advanced by fit(); restore() sets it
         from adfmsl.utils.profiling import StepTimer
 
         self.timer = StepTimer()
@@ -224,7 +225,9 @@ class Trainer:
                     "mesh training requires drop_last=True on the train "
                     "loader: a padded partial final batch would pollute "
                     "BatchNorm batch statistics")
-        n = num_epochs or self.exp.train.num_epochs
+        # explicit 0 means ZERO epochs (the profile path passes
+        # num_epochs - 1, which may be 0) — only None falls back to the config
+        n = self.exp.train.num_epochs if num_epochs is None else num_epochs
         stopper = None
         if self.exp.train.early_stop_patience > 0:
             stopper = EarlyStopper(self.exp.train.early_stop_patience,
@@ -239,7 +242,12 @@ class Trainer:
 
             plateau = PlateauTracker(ocfg.plateau_patience, ocfg.plateau_factor,
                                      mode="min")
-        for epoch in range(n):
+        # epochs continue across fit() calls (profile-then-train, resume):
+        # restarting at 0 would reuse per-epoch RNG streams, overwrite
+        # checkpoint/metric records, and re-shuffle identically
+        first = self.epochs_run
+        for epoch in range(first, first + n):
+            self.epochs_run = epoch + 1
             t0 = time.time()
             tm = self.train_epoch(epoch)
             dev_acc, dev_eer = ((self.evaluate_metrics(self.dev_loader))
