@@ -33,7 +33,8 @@ BATCH = 384          # batch sweep on v5e at DFT 'high': 256 -> 93k, 320 -> 80k,
                      # (stable across repeats); train also peaks at 384 (62.5k
                      # vs 57k at 256)
 CUT = 64600          # 4 s @ 16 kHz
-N_ITERS = 64
+N_ITERS = 128        # 64 -> 96.5k, 128 -> ~104k utt/s: the serial scan amortises
+                     # the fixed dispatch+sync overhead of the tunneled backend
 TRAIN_ITERS = 16
 CPU_BATCHES = 10
 CPU_BATCH = 16
