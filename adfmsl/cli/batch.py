@@ -37,12 +37,9 @@ def build_parser():
 
 
 def _apply(exp, overrides: Dict):
-    for k, v in (overrides or {}).items():
-        obj = exp
-        parts = k.split(".")
-        for q in parts[:-1]:
-            obj = getattr(obj, q)
-        setattr(obj, parts[-1], v)
+    from adfmsl.config.standardized import apply_overrides
+
+    apply_overrides(exp, overrides)   # validates leaf names, deep-copies values
 
 
 def main(argv=None) -> int:

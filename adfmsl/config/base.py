@@ -224,8 +224,10 @@ class ExperimentConfig:
         """Emit the reference's flat standardized dict key-for-key
         (fmsl_standardized_config.py:36-79) for diffing/verification."""
         a, t, o = self.model.architecture, self.train, self.train.optimizer
+        import copy
+
         d: Dict[str, Any] = {
-            "filts": a.filts,
+            "filts": copy.deepcopy(a.filts),   # never hand out live config state
             "nb_fc_node": a.nb_fc_node,
             "nb_classes": a.nb_classes,
             "sample_rate": a.sample_rate,
@@ -261,10 +263,3 @@ class ExperimentConfig:
             )
         return d
 
-
-def asdict(cfg: Any) -> Dict[str, Any]:
-    return dataclasses.asdict(cfg)
-
-
-def replace(cfg, **kw):
-    return dataclasses.replace(cfg, **kw)

@@ -57,6 +57,9 @@ EXTRA_MODELS = ["lcnn_lfcc", "lcnn1d_lfcc", "resnet18_logmel"]
 
 def get_standardized_config(model_type: str = "baseline") -> Dict[str, Any]:
     """Reference-compatible flat dict (standardized_maze_config.py:39-64)."""
+    if model_type not in ("baseline", "fmsl"):
+        raise ValueError(f"model_type must be 'baseline' or 'fmsl', got "
+                         f"{model_type!r}")
     exp = make_experiment("maze5_fmsl" if model_type == "fmsl" else "maze5", drift=False)
     return exp.to_reference_dict()
 
@@ -104,14 +107,33 @@ def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentCon
         spec.semantics = "reference_handrolled"
 
     loss = LossConfig(name="weighted_ce", class_weights=[0.1, 0.9])
-    if base in {"maze2", "maze5", "maze6"}:
+    if base in {"maze2", "maze5"}:
+        # the only baselines whose default --loss actually builds FocalLoss
+        # (maze2.py:387,444; maze5.py:447,500). maze4/7/8 advertise a 'focal'
+        # choice but BOTH branches construct weighted CE [0.1,0.9]
+        # (maze4.py:485-489, maze7.py:465-469, maze8.py:515-521).
         loss = LossConfig(name="focal_ce")
+    elif base == "maze6":
+        # --loss default 'cce' -> CrossEntropyLoss([0.3, 0.7]) (maze6.py:581,684)
+        loss = LossConfig(name="weighted_ce", class_weights=[0.3, 0.7])
     # FMSL modes B ('replace') and C ('integrated') compute loss inside the model;
-    # mode A ('refine', maze5_fmsl) keeps the baseline's external loss.
-    if is_fmsl and FMSL_MODES.get(name) != "refine":
-        loss = LossConfig(name="fmsl")
+    # mode A ('refine', maze5_fmsl) keeps an external loss — the reference's is
+    # weighted CE [0.3, 0.7], NOT the baseline's focal
+    # (maze5_fmsl_standardized.py:607).
+    if is_fmsl:
+        loss = (LossConfig(name="weighted_ce", class_weights=[0.3, 0.7])
+                if FMSL_MODES.get(name) == "refine" else LossConfig(name="fmsl"))
 
-    opt = OptimizerConfig(name="adamw" if (is_fmsl or base == "maze6") else "adam")
+    # AdamW everywhere the reference builds torch.optim.AdamW: baselines
+    # maze4/5/6/7/8 (e.g. maze4.py:482) and every *_fmsl_standardized file
+    # except main_fmsl (Adam, main_fmsl_standardized.py:378); main/maze2/maze3
+    # baselines use Adam (main.py:187, maze2.py:437, maze3.py:317).
+    if is_fmsl:
+        opt = OptimizerConfig(name="adam" if base == "main" else "adamw")
+    else:
+        opt = OptimizerConfig(
+            name="adamw" if base in {"maze4", "maze5", "maze6", "maze7", "maze8"}
+            else "adam")
     if base == "maze6":
         opt.scheduler = "cosine"
 
@@ -128,10 +150,26 @@ def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentCon
         train=TrainConfig(optimizer=opt, loss=loss),
         mesh=MeshConfig(),
     )
-    for k, v in overrides.items():
+    apply_overrides(exp, overrides)
+    return exp
+
+
+def apply_overrides(exp, overrides) -> None:
+    """Apply {'train.num_epochs': 1, ...} dotted-path overrides in place.
+
+    Leaf names are validated against the dataclass fields — setattr would
+    otherwise happily create a brand-new attribute for a typo'd key and the
+    run would proceed with the default value. Shared by make_experiment and
+    the adfmsl-batch plan YAML."""
+    import dataclasses as _dc
+
+    for k, v in (overrides or {}).items():
         obj = exp
         parts = k.split(".")
-        for p in parts[:-1]:
-            obj = getattr(obj, p)
+        for q in parts[:-1]:
+            obj = getattr(obj, q)
+        if parts[-1] not in {f.name for f in _dc.fields(type(obj))}:
+            raise AttributeError(
+                f"unknown config field {k!r} ({type(obj).__name__} has no "
+                f"field {parts[-1]!r})")
         setattr(obj, parts[-1], copy.deepcopy(v))
-    return exp

@@ -31,6 +31,16 @@ from adfmsl.config.base import (
 def _from_dict(cls: Type, d: Dict[str, Any]):
     if d is None:
         return None
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        # a typo'd/stale key silently falling back to the default is exactly
+        # the failure class this package's verifier exists to catch
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: ignoring unknown config key(s) %s", cls.__name__,
+            sorted(unknown))
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
@@ -64,4 +74,8 @@ def save_yaml(cfg: ExperimentConfig, path: str) -> None:
 def load_yaml(path: str) -> ExperimentConfig:
     with open(path) as fh:
         d = yaml.safe_load(fh)
+    if not isinstance(d, dict):
+        raise ValueError(
+            f"{path}: expected a YAML mapping of ExperimentConfig fields, got "
+            f"{type(d).__name__} (empty file?)")
     return _from_dict(ExperimentConfig, d)
