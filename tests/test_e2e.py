@@ -20,8 +20,11 @@ def trained(fixture_dir):
     exp.train.batch_size = 8
     # BatchNorm running stats start at var=1 and converge at momentum 0.9; eval-mode
     # logits are only meaningful after ~40 steps (0.9^40 ~= 0.015 of init left), so
-    # train enough steps for the eval path to see converged statistics.
-    exp.train.num_epochs = 14
+    # train enough steps for the eval path to see converged statistics — with
+    # margin: at exactly 14 epochs (42 steps) the assertion sat on the
+    # convergence knife-edge and flipped when the standardized optimizer
+    # changed to the reference's AdamW.
+    exp.train.num_epochs = 20
     exp.train.optimizer.lr = 1e-3
     exp.model.spec_augment.enabled = False  # keep the tiny run deterministic-ish
     train_proto = parse_protocol(fixture_dir["train"]["protocol"])
@@ -40,7 +43,7 @@ def trained(fixture_dir):
 
 def test_training_learns(trained):
     _, _, history = trained
-    assert len(history) == 14
+    assert len(history) == 20
     assert history[-1].train_loss < history[0].train_loss
     assert history[-1].dev_acc >= 0.75      # separable-by-construction classes
 
