@@ -39,6 +39,10 @@ def build_parser():
                    help="also save per-utterance pooled embeddings (+ FMSL "
                         "prototypes/class weights when present) for "
                         "adfmsl-analyze --embeddings")
+    p.add_argument("--asv_scores", default=None, metavar="FILE",
+                   help="organizers' ASV score file (target/nontarget/spoof "
+                        "keys): derives the ASV operating point so min_tdcf "
+                        "is the OFFICIAL computation")
     return p
 
 
@@ -132,11 +136,15 @@ def main(argv=None) -> int:
         return 1
     out_path = args.output or f"{args.model_type}_scores.txt"
     # with --dump_embeddings the features ride the SAME forward pass (and the
-    # same mesh sharding) as scoring — the protocol streams once, not twice
+    # same mesh sharding) as scoring — the protocol streams once, not twice.
+    # Feature collection needs the runner's own step (it threads 'features'
+    # through), so the trainer's step is only used for plain scoring.
+    dump = bool(args.dump_embeddings)
     res = evaluate_to_file(trainer.state, loader, out_path,
                            labels=proto.labels or None,
-                           eval_step=trainer.eval_step, mesh=mesh,
-                           collect_features=bool(args.dump_embeddings))
+                           eval_step=None if dump else trainer.eval_step,
+                           mesh=mesh, collect_features=dump,
+                           asv_scores=args.asv_scores)
     if res.metrics:
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in res.metrics.items()})

@@ -48,7 +48,12 @@ def produce_scores(state: TrainState, loader: DataLoader,
     embeddings in the SAME pass (one forward over the protocol, not two) —
     used by adfmsl-eval --dump_embeddings.
     """
-    if eval_step is None or collect_features:
+    if eval_step is not None and collect_features:
+        raise ValueError(
+            "produce_scores: a caller-supplied eval_step cannot be combined with "
+            "collect_features=True (the default step is what threads features "
+            "through); either drop eval_step or collect features in your own step")
+    if eval_step is None:
         import jax.numpy as jnp
 
         def _step(state, audio, labels, mask):
@@ -156,7 +161,8 @@ def produce_embeddings(state: TrainState, loader: DataLoader,
 def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
                      labels: Optional[Dict[str, int]] = None,
                      eval_step=None, mesh=None,
-                     collect_features: bool = False) -> EvalResult:
+                     collect_features: bool = False,
+                     asv_scores: Optional[str] = None) -> EvalResult:
     res = produce_scores(state, loader, eval_step, mesh=mesh,
                          collect_features=collect_features)
     n = write_score_file(score_path, res.utt_ids, res.scores)
@@ -164,5 +170,11 @@ def evaluate_to_file(state: TrainState, loader: DataLoader, score_path: str,
     if labels:
         y = np.asarray([labels[u] for u in res.utt_ids if u in labels])
         s = np.asarray([sc for u, sc in zip(res.utt_ids, res.scores) if u in labels])
-        res.metrics = compute_all_metrics(s, y)
+        costs = None
+        if asv_scores:
+            # official t-DCF: ASV operating point measured from the organizers'
+            # ASV score file rather than the fixed typical-LA approximation
+            from adfmsl.evaluation.metrics import costs_from_asv_scores
+            costs = costs_from_asv_scores(asv_scores)
+        res.metrics = compute_all_metrics(s, y, tdcf_costs=costs)
     return res

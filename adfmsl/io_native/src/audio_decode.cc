@@ -379,6 +379,15 @@ int64_t decode_wav(const uint8_t* p, size_t n, std::vector<float>* mono,
       for (uint16_t c = 0; c < n_ch; ++c) acc += double(s[i * n_ch + c]);
       (*mono)[i] = float(acc / (2147483648.0 * n_ch));
     }
+  } else if (fmt == 3 && bits == 64) {
+    n_samp = pcm_len / 8 / n_ch;
+    mono->resize(n_samp);
+    const double* s = reinterpret_cast<const double*>(pcm);
+    for (size_t i = 0; i < n_samp; ++i) {
+      double acc = 0;
+      for (uint16_t c = 0; c < n_ch; ++c) acc += s[i * n_ch + c];
+      (*mono)[i] = float(acc / n_ch);
+    }
   } else {
     return -3;
   }
@@ -415,7 +424,7 @@ int64_t header_len(const uint8_t* p, size_t n) {
   if (n < 44 || memcmp(p, "RIFF", 4) != 0 || memcmp(p + 8, "WAVE", 4) != 0)
     return -2;
   size_t pos = 12;
-  uint16_t n_ch = 0, bits = 0;
+  uint16_t fmt = 0, n_ch = 0, bits = 0;
   size_t pcm_len = 0;
   auto rd16 = [&](size_t o) { return uint16_t(p[o] | (p[o + 1] << 8)); };
   auto rd32 = [&](size_t o) {
@@ -424,6 +433,7 @@ int64_t header_len(const uint8_t* p, size_t n) {
   while (pos + 8 <= n) {
     uint32_t len = rd32(pos + 4);
     if (memcmp(p + pos, "fmt ", 4) == 0 && pos + 8 + 16 <= n) {
+      fmt = rd16(pos + 8);
       n_ch = rd16(pos + 10);
       bits = rd16(pos + 22);
     } else if (memcmp(p + pos, "data", 4) == 0) {
@@ -431,7 +441,13 @@ int64_t header_len(const uint8_t* p, size_t n) {
     }
     pos += 8 + len + (len & 1);
   }
-  if (!n_ch || !bits || !pcm_len) return -2;
+  if (!n_ch || !pcm_len) return -2;
+  // Only the formats decode_wav actually supports; anything else (ADPCM, mu-law,
+  // 8-bit PCM, ...) must report the same -3 the decoder would, never a bogus
+  // length or a bits/8 == 0 division.
+  const bool supported = (fmt == 1 && (bits == 16 || bits == 32)) ||
+                         (fmt == 3 && (bits == 32 || bits == 64));
+  if (!supported) return -3;
   return int64_t(pcm_len / (size_t(n_ch) * (bits / 8)));
 }
 

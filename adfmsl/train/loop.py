@@ -226,8 +226,14 @@ class Trainer:
                     "loader: a padded partial final batch would pollute "
                     "BatchNorm batch statistics")
         # explicit 0 means ZERO epochs (the profile path passes
-        # num_epochs - 1, which may be 0) — only None falls back to the config
-        n = self.exp.train.num_epochs if num_epochs is None else num_epochs
+        # num_epochs - 1, which may be 0) — only None falls back to the config.
+        # The config-driven default is a TOTAL: resuming an interrupted
+        # 20-epoch run at epoch 12 trains 8 more, not 20 more. Explicit fit(n)
+        # keeps additive semantics (train n MORE epochs from wherever we are).
+        if num_epochs is None:
+            n = max(0, self.exp.train.num_epochs - self.epochs_run)
+        else:
+            n = num_epochs
         stopper = None
         if self.exp.train.early_stop_patience > 0:
             stopper = EarlyStopper(self.exp.train.early_stop_patience,

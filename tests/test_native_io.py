@@ -144,6 +144,53 @@ def test_decode_wav_native(tmp_path):
     np.testing.assert_allclose(y, x, atol=1e-4)
 
 
+def _write_raw_wav(path: str, fmt: int, bits: int, sr: int, body: bytes,
+                   n_ch: int = 1):
+    block = max(1, n_ch * (bits // 8))
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, fmt, n_ch, sr,
+                                 sr * block, block, bits)
+    hdr += b"data" + struct.pack("<I", len(body))
+    with open(path, "wb") as fh:
+        fh.write(hdr + body)
+
+
+def test_decode_wav_float64_native(tmp_path):
+    """fmt=3/bits=64 (scipy.io.wavfile float64 output) decodes natively, matching
+    the pure-Python read_wav path (ADVICE r2: the two IO paths must agree)."""
+    from adfmsl.data.audio import read_wav
+    from adfmsl.io_native import decode_wav_native
+
+    sr = 16000
+    x = 0.3 * np.sin(2 * np.pi * 220 * np.arange(1000) / sr)
+    p = str(tmp_path / "f64.wav")
+    _write_raw_wav(p, fmt=3, bits=64, sr=sr, body=x.astype(np.float64).tobytes())
+    y, got_sr = decode_wav_native(p)
+    y_ref, sr_ref = read_wav(p)
+    assert got_sr == sr == sr_ref
+    np.testing.assert_allclose(y, x.astype(np.float32), atol=1e-7)
+    np.testing.assert_allclose(y, y_ref, atol=0)
+
+
+def test_unsupported_wav_format_clean_error(tmp_path):
+    """A 4-bit IMA-ADPCM-style WAV must yield a clean error, not a SIGFPE from
+    bits/8 == 0 in the native header-length probe (ADVICE r2 medium), and the
+    batch path must zero-fill it like any other corrupt file."""
+    from adfmsl.io_native import batch_decode_pad, decode_wav_native
+
+    p = str(tmp_path / "adpcm.wav")
+    _write_raw_wav(p, fmt=17, bits=4, sr=16000, body=b"\x00" * 512)
+    with pytest.raises(ValueError):
+        decode_wav_native(p)
+    # mu-law-style (fmt=7, bits=8) must error too, not report a bogus length
+    p2 = str(tmp_path / "mulaw.wav")
+    _write_raw_wav(p2, fmt=7, bits=8, sr=8000, body=b"\x00" * 512)
+    with pytest.raises(ValueError):
+        decode_wav_native(p2)
+    out, srs, lens = batch_decode_pad([p, p2], max_len=100, pad_mode="zero")
+    assert (out == 0).all() and lens.tolist() == [0, 0]
+
+
 def test_batch_decode_pad(tmp_path, flac_file):
     from adfmsl.data.audio import write_wav
     from adfmsl.data.pad import tile_pad, zero_pad
