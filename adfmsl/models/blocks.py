@@ -35,6 +35,29 @@ class SEBlock(nn.Module):
         return x * s[:, None, :]
 
 
+def _adaptive_avg_resample(x: jnp.ndarray, lout: int) -> jnp.ndarray:
+    """torch F.adaptive_avg_pool1d on the time axis of (B, T, C), exactly:
+    output bin i averages input[floor(i*Lin/Lout) : ceil((i+1)*Lin/Lout)].
+    Used only with Lout >= Lin (each bin spans 1-2 elements), so two static
+    gathers + a blend beat a (Lout, Lin) matmul; indices are trace-time numpy
+    constants (static shapes)."""
+    import numpy as np
+
+    lin = x.shape[1]
+    if lin == lout:
+        return x
+    assert lin <= lout, f"adaptive resample expects upsampling, got {lin}->{lout}"
+    i = np.arange(lout)
+    start = (i * lin) // lout
+    end = -((-(i + 1) * lin) // lout)           # ceil((i+1)*lin/lout)
+    cnt = (end - start).astype(np.float32)
+    w0 = jnp.asarray(1.0 / cnt)[None, :, None]
+    w1 = jnp.asarray((cnt - 1.0) / cnt)[None, :, None]   # 0 when the bin is a single element
+    a = x[:, jnp.asarray(start), :]
+    b = x[:, jnp.asarray(end - 1), :]
+    return a * w0 + b * w1
+
+
 class ResBlockSE(nn.Module):
     """Pre-activation 1-D residual block with optional SE gating.
 
@@ -94,6 +117,43 @@ class ResBlockSE(nn.Module):
             if self.use_se and self.semantics == "fmsl_plain":
                 out = SEBlock(self.out_channels, name="se")(out)
             return out
+
+        if self.semantics == "fmsl_adaptive":
+            # maze4/7/8_fmsl_standardized.py:112-162 variant (caught by the
+            # literal-reference oracle, tests/test_reference_oracle.py): baseline
+            # conv ordering but dropout AFTER conv2, and the AvgPool(2s-1, s,
+            # s-1) is applied to the SKIP only, whose result is then
+            # adaptive_avg_pool1d'd back UP to the conv branch's undiminished
+            # length — so "stride" blocks never actually downsample; the skip
+            # is blur-resampled instead. The 1x1 downsample conv reads the
+            # post-preactivation x (not the raw input as the baselines do).
+            h = x
+            if not self.first:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="bn1")(h)
+                h = nn.relu(h)
+            pre = h
+            out = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
+                          dtype=self.dtype, name="conv1")(pre)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               name="bn2")(out)
+            out = nn.relu(out)
+            out = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
+                          dtype=self.dtype, name="conv2")(out)
+            out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+            skip = pre
+            if self.in_channels != self.out_channels or self.stride != 1:
+                skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                               name="downsample")(skip)
+            if self.stride > 1:
+                skip = nn.avg_pool(skip, (2 * self.stride - 1,),
+                                   strides=(self.stride,),
+                                   padding=((self.stride - 1, self.stride - 1),))
+                skip = _adaptive_avg_resample(skip, out.shape[1])
+            res = out + skip
+            if self.use_se:
+                res = SEBlock(self.out_channels, name="se")(res)
+            return res
 
         ref = self.semantics == "reference"
         m3 = self.semantics == "maze3"

@@ -19,6 +19,7 @@ Canonical label polarity: bonafide=1, spoof=0.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -290,6 +291,13 @@ for base, s in list(SPECS.items()):
         conv_fmsl=False, pooling=s.pooling, fc1=s.fc1, fc1_act=s.fc1_act,
         score=_FMSL_SCORE[base], fmsl_input_dim=_FMSL_DIMS[base],
         fusion_layers=s.fusion_layers)
+
+# maze4/7/8_fmsl_standardized.py:112-162 ship a DIFFERENT file-local block than
+# their baselines (caught by the literal-reference oracle): dropout after conv2
+# and the stride handled by pooling + adaptive-resampling the SKIP only, so the
+# trunk never downsamples under reference semantics.
+for _n in ("maze4_fmsl", "maze7_fmsl", "maze8_fmsl"):
+    SPECS[_n] = dataclasses.replace(SPECS[_n], block_variant="fmsl_adaptive")
 
 # The FMSL-standardized files re-assemble their OWN (smaller) trunks rather than
 # reusing the baseline's — override where they differ (SURVEY.md 2.4).

@@ -372,18 +372,53 @@ class TConvFMSL(tnn.Module):
         return x + self.output_projection(h * self.freq_attention(h))
 
 
+class TAdaptBlock(tnn.Module):
+    """maze4/7/8_fmsl_standardized.py:112-162 'adaptive' block (literal-oracle
+    finding, test_reference_oracle.py): dropout after conv2, and the stride is
+    applied by pooling + adaptive-resampling the SKIP only — the conv branch
+    (and hence the block output) keeps the full sequence length."""
+
+    def __init__(self, cin, cout, first=False, stride=1, p=0.3):
+        super().__init__()
+        self.first, self.stride = first, stride
+        if not first:
+            self.bn1 = tnn.BatchNorm1d(cin)
+        self.conv1 = tnn.Conv1d(cin, cout, 3, padding=1)
+        self.bn2 = tnn.BatchNorm1d(cout)
+        self.dropout = tnn.Dropout(p)
+        self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1)
+        if cin != cout or stride != 1:
+            self.conv_downsample = tnn.Conv1d(cin, cout, 1)
+        self.pool = (tnn.AvgPool1d(2 * stride - 1, stride, stride - 1)
+                     if stride > 1 else None)
+
+    def forward(self, x):
+        if not self.first:
+            x = tF.relu(self.bn1(x))
+        out = tF.relu(self.bn2(self.conv1(x)))
+        out = self.dropout(self.conv2(out))
+        skip = self.conv_downsample(x) if hasattr(self, "conv_downsample") else x
+        if self.pool is not None:
+            skip = self.pool(skip)
+        if skip.size(-1) != out.size(-1):
+            skip = tF.adaptive_avg_pool1d(skip, out.size(-1))
+        return out + skip
+
+
 class TMaze7(tnn.Module):
-    """maze7.py:144-217 / maze8.py:193-277 (conv_fmsl) / fmsl variants."""
+    """maze7.py:144-217 / maze8.py:193-277 (conv_fmsl) / fmsl variants (which
+    carry the TAdaptBlock trunk, maze7/8_fmsl_standardized.py:112-162)."""
 
     def __init__(self, conv_fmsl=False, fmsl=False, fmsl_s=32.0):
         super().__init__()
+        blk = TAdaptBlock if fmsl else TRes
         self.wav2vec2_extractor = TW2V2Wrap()
         self.feature_projection = tnn.Conv1d(64, 128, 1)
         self.first_bn = tnn.BatchNorm1d(128)
-        self.block0 = TRes(128, 128, first=True)
+        self.block0 = blk(128, 128, first=True)
         self.se0 = TSE(128)
         plan = [(128, 128), (128, 128), (128, 128), (128, 256)]
-        self.res_blocks = tnn.ModuleList(TRes(a, b, stride=2) for a, b in plan)
+        self.res_blocks = tnn.ModuleList(blk(a, b, stride=2) for a, b in plan)
         self.se_blocks = tnn.ModuleList(TSE(b) for _, b in plan)
         if conv_fmsl:
             self.fmsl_layer = TConvFMSL(128)
