@@ -56,9 +56,14 @@ class ProcessedScores:
 
 class ScoreFileProcessor:
     def __init__(self, scores_dir: str, protocol_path: str,
-                 polarity: str = "bonafide1"):
+                 polarity: str = "bonafide1", asv_scores: str = None):
         self.scores_dir = scores_dir
         self.protocol = parse_protocol(protocol_path, polarity)
+        # organizers' ASV score file -> official t-DCF operating point
+        self.tdcf_costs = None
+        if asv_scores:
+            from adfmsl.evaluation.metrics import costs_from_asv_scores
+            self.tdcf_costs = costs_from_asv_scores(asv_scores)
 
     def discover(self) -> Dict[str, str]:
         """model name -> score file path (newest wins on collision)."""
@@ -83,7 +88,7 @@ class ScoreFileProcessor:
             s, y, missing = join_scores_with_labels(scores, labels)
             if len(set(y)) < 2:
                 continue
-            out.per_model[name] = compute_all_metrics(s, y)
+            out.per_model[name] = compute_all_metrics(s, y, tdcf_costs=self.tdcf_costs)
             out.per_model[name]["score_file"] = path
             out.missing_labels[name] = len(missing)
         return out

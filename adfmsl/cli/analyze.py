@@ -19,6 +19,9 @@ def build_parser():
                         "except --curves-only runs)")
     p.add_argument("--output_dir", default="analysis_out")
     p.add_argument("--polarity", default="bonafide1", choices=["bonafide1", "spoof1"])
+    p.add_argument("--asv_scores", default=None, metavar="FILE",
+                   help="organizers' ASV score file for the official min t-DCF "
+                        "operating point")
     p.add_argument("--figures", action="store_true",
                    help="render the full figure panel set (ROC/DET/score dists/"
                         "comparison/trend/landscape) from the real scores")
@@ -58,7 +61,8 @@ def main(argv=None) -> int:
         results_latex,
     )
 
-    proc = ScoreFileProcessor(args.scores_dir, args.protocol, args.polarity)
+    proc = ScoreFileProcessor(args.scores_dir, args.protocol, args.polarity,
+                              asv_scores=args.asv_scores)
     processed = proc.process_all_scores()
     if not processed.per_model:
         print("no score files found under", args.scores_dir)

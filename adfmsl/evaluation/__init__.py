@@ -6,11 +6,14 @@ from adfmsl.evaluation.bootstrap import (
 from adfmsl.evaluation.metrics import (
     TDCFCosts,
     accuracy_at_threshold,
+    asv_operating_point,
     auc_score,
     average_precision,
     compute_all_metrics,
     compute_eer,
+    costs_from_asv_scores,
     min_tdcf,
+    parse_asv_scores,
     roc_points,
     simplified_min_dcf,
 )
@@ -25,8 +28,9 @@ from adfmsl.evaluation.scores import (
 
 __all__ = [
     "BootstrapResult", "bootstrap_metric", "paired_bootstrap_test",
-    "TDCFCosts", "accuracy_at_threshold", "auc_score", "average_precision",
-    "compute_all_metrics", "compute_eer", "min_tdcf", "roc_points",
+    "TDCFCosts", "accuracy_at_threshold", "asv_operating_point", "auc_score",
+    "average_precision", "compute_all_metrics", "compute_eer",
+    "costs_from_asv_scores", "min_tdcf", "parse_asv_scores", "roc_points",
     "simplified_min_dcf",
     "EmbeddingResult", "EvalResult", "evaluate_to_file",
     "produce_embeddings", "produce_scores",

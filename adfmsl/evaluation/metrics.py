@@ -96,6 +96,65 @@ class TDCFCosts:
     p_miss_spoof_asv: float = 0.05
 
 
+def parse_asv_scores(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse an organizers' ASV score file -> (keys, scores).
+
+    The official ASVspoof2019 ASV files are whitespace-separated with one trial
+    per line, a key column in {target, nontarget, spoof} and the score in the
+    last column (official evaluate_tDCF_asvspoof19.py reads columns [source,
+    key, score]); column position of the key is auto-detected so protocol
+    variants with extra leading fields (speaker/utt ids) parse too.
+    """
+    kinds = {"target", "nontarget", "spoof"}
+    keys, scores = [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            key = next((p for p in parts[:-1] if p in kinds), None)
+            if key is None:
+                raise ValueError(
+                    f"ASV score line has no target/nontarget/spoof key: {line!r}")
+            keys.append(key)
+            scores.append(float(parts[-1]))
+    return np.asarray(keys), np.asarray(scores, dtype=np.float64)
+
+
+def asv_operating_point(keys: np.ndarray, scores: np.ndarray
+                        ) -> Tuple[float, float, float]:
+    """(p_fa_asv, p_miss_asv, p_miss_spoof_asv) at the ASV's target/nontarget
+    EER threshold — the official obtain_asv_error_rates procedure: pick the
+    threshold where |FRR - FAR| over target-vs-nontarget is minimal, then
+    measure all three error rates at that single threshold."""
+    keys = np.asarray(keys)
+    scores = np.asarray(scores, dtype=np.float64)
+    tar = scores[keys == "target"]
+    non = scores[keys == "nontarget"]
+    spoof = scores[keys == "spoof"]
+    if len(tar) == 0 or len(non) == 0:
+        raise ValueError("ASV scores need both target and nontarget trials")
+    # EER threshold over target (positive) vs nontarget (negative)
+    fpr, fnr, thr = roc_points(np.r_[tar, non],
+                               np.r_[np.ones(len(tar)), np.zeros(len(non))])
+    t = float(thr[int(np.argmin(np.abs(fnr - fpr)))])
+    p_fa_asv = float(np.mean(non >= t))
+    p_miss_asv = float(np.mean(tar < t))
+    p_miss_spoof_asv = float(np.mean(spoof < t)) if len(spoof) else 0.05
+    return p_fa_asv, p_miss_asv, p_miss_spoof_asv
+
+
+def costs_from_asv_scores(path: str, base: TDCFCosts = TDCFCosts()) -> TDCFCosts:
+    """TDCFCosts with the ASV operating point measured from the organizers' ASV
+    score file — this is what makes min_tdcf the OFFICIAL computation rather
+    than the fixed-operating-point approximation."""
+    from dataclasses import replace
+
+    p_fa, p_miss, p_miss_spoof = asv_operating_point(*parse_asv_scores(path))
+    return replace(base, p_fa_asv=p_fa, p_miss_asv=p_miss,
+                   p_miss_spoof_asv=p_miss_spoof)
+
+
 def min_tdcf(scores, labels, costs: TDCFCosts = TDCFCosts()) -> float:
     """Normalized minimum tandem-DCF (ASVspoof2019 revised formulation):
     t-DCF(s) = C0 + C1 * Pmiss_cm(s) + C2 * Pfa_cm(s), minimized over CM thresholds
@@ -116,14 +175,17 @@ def min_tdcf(scores, labels, costs: TDCFCosts = TDCFCosts()) -> float:
     return float(np.min(tdcf) / max(denom, 1e-12))
 
 
-def compute_all_metrics(scores, labels) -> Dict[str, float]:
-    """The reference's metric dict (score_file_processor.py:156-212) + real t-DCF."""
+def compute_all_metrics(scores, labels,
+                        tdcf_costs: Optional[TDCFCosts] = None) -> Dict[str, float]:
+    """The reference's metric dict (score_file_processor.py:156-212) + real t-DCF.
+    Pass ``tdcf_costs=costs_from_asv_scores(path)`` for the official ASV-derived
+    operating point; default is the fixed typical-LA approximation."""
     eer, thr = compute_eer(scores, labels)
     return {
         "eer": eer,
         "eer_threshold": thr,
         "min_dcf": simplified_min_dcf(scores, labels),
-        "min_tdcf": min_tdcf(scores, labels),
+        "min_tdcf": min_tdcf(scores, labels, tdcf_costs or TDCFCosts()),
         "auc": auc_score(scores, labels),
         "avg_precision": average_precision(scores, labels),
         "accuracy": accuracy_at_threshold(scores, labels, thr),

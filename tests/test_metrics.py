@@ -107,3 +107,80 @@ def test_paired_bootstrap_detects_difference():
     res = paired_bootstrap_test(better, SCORES, LABELS, n_resamples=100, seed=1)
     assert res["diff"] < 0              # lower EER for the better model
     assert res["p_value"] <= 0.05
+
+
+# ---- official min t-DCF from ASV scores (VERDICT r2 item 6) ----------------------
+
+def test_asv_operating_point_hand_computed(tmp_path):
+    """Separable ASV scores with known error rates at the EER threshold."""
+    from adfmsl.evaluation import asv_operating_point, parse_asv_scores
+
+    p = str(tmp_path / "asv.txt")
+    # official column layout: source key score (evaluate_tDCF_asvspoof19.py)
+    lines = []
+    # 4 targets: 3 above any nontarget, 1 below -> miss rate 1/4 at EER thr
+    for s in (5.0, 4.0, 3.0, 0.5):
+        lines.append(f"- target {s}")
+    # 4 nontargets: 1 overlapping high -> fa rate 1/4
+    for s in (2.5, 0.0, -1.0, -2.0):
+        lines.append(f"- nontarget {s}")
+    # 2 spoofs below threshold, 2 above -> p_miss_spoof = 0.5
+    for s in (4.5, 2.6, -0.5, -1.5):
+        lines.append(f"A01 spoof {s}")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    keys, scores = parse_asv_scores(p)
+    assert len(keys) == 12 and (keys == "spoof").sum() == 4
+    p_fa, p_miss, p_miss_spoof = asv_operating_point(keys, scores)
+    # EER threshold lands where fnr==fpr==0.25: at thr in (0.5, 2.5];
+    # roc_points yields thr=2.5 -> non>=2.5 is 1/4, tar<2.5 is 1/4
+    assert p_fa == 0.25 and p_miss == 0.25
+    assert p_miss_spoof == 0.5
+
+
+def test_costs_from_asv_scores_changes_tdcf(tmp_path):
+    from adfmsl.evaluation import TDCFCosts, costs_from_asv_scores, min_tdcf
+
+    p = str(tmp_path / "asv.txt")
+    with open(p, "w") as fh:
+        for s in (5.0, 4.0, 3.0, 0.5):
+            fh.write(f"- target {s}\n")
+        for s in (2.5, 0.0, -1.0, -2.0):
+            fh.write(f"- nontarget {s}\n")
+        for s in (4.5, 2.6, -0.5, -1.5):
+            fh.write(f"A01 spoof {s}\n")
+    costs = costs_from_asv_scores(p)
+    assert costs.p_fa_asv == 0.25 and costs.p_miss_asv == 0.25
+    assert costs.p_miss_spoof_asv == 0.5
+    # cost-model constants untouched
+    assert costs.p_target == TDCFCosts().p_target
+    got = min_tdcf(SCORES, LABELS, costs)
+    default = min_tdcf(SCORES, LABELS)
+    assert got != default and 0.0 <= got <= 1.0 + 1e-9
+
+
+def test_min_tdcf_hand_computed_constants(tmp_path):
+    """Degenerate CM scores make Pmiss/Pfa trivially known; check the exact
+    normalized revised-form value C0+C1*0+C2*0 ... floor."""
+    from adfmsl.evaluation import TDCFCosts, min_tdcf
+
+    c = TDCFCosts(p_fa_asv=0.2, p_miss_asv=0.1, p_miss_spoof_asv=0.5)
+    # perfectly separable CM: min over thresholds hits Pmiss=0, Pfa=0
+    scores = np.array([3.0, 2.5, 2.0, -2.0, -2.5, -3.0])
+    labels = np.array([1, 1, 1, 0, 0, 0])
+    C0 = c.p_target * c.c_miss * c.p_miss_asv + c.p_nontarget * c.c_fa * c.p_fa_asv
+    C1 = c.p_target * c.c_miss - C0
+    C2 = c.p_spoof * c.c_fa_spoof * (1.0 - c.p_miss_spoof_asv)
+    expected = C0 / (C0 + min(C1, C2))
+    np.testing.assert_allclose(min_tdcf(scores, labels, c), expected, rtol=1e-12)
+
+
+def test_parse_asv_scores_rejects_keyless_line(tmp_path):
+    from adfmsl.evaluation import parse_asv_scores
+
+    p = str(tmp_path / "bad.txt")
+    with open(p, "w") as fh:
+        fh.write("- target 1.0\n- bogus 0.5\n")
+    with pytest.raises(ValueError):
+        parse_asv_scores(p)
