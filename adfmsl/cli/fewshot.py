@@ -34,6 +34,9 @@ def build_parser():
     p.add_argument("--n_steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--cut", type=int, default=None)
+    p.add_argument("--model_path", default=None,
+                   help="supervised/meta checkpoint dir to warm-start the "
+                        "embedder (params + BN stats) from")
     p.add_argument("--output", default="fewshot_scores.txt")
     return p
 
@@ -56,7 +59,8 @@ def main(argv=None) -> int:
     train_proto = parse_protocol(args.train_protocol, exp.data.label_polarity)
     train_ds = AsvspoofDataset(train_proto, args.train_dir, cut=exp.data.cut,
                                pad_mode=exp.data.pad_mode)
-    trainer = FewshotTrainer(exp, fcfg, train_proto, train_ds)
+    trainer = FewshotTrainer(exp, fcfg, train_proto, train_ds,
+                             checkpoint_dir=args.model_path)
     hist = trainer.fit()
     logging.info("meta-training done: final episode acc %.3f",
                  np.mean([h["acc"] for h in hist[-10:]]))

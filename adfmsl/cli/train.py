@@ -14,8 +14,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("adfmsl-train")
     p.add_argument("--model", default="maze5", help="registry model name")
     p.add_argument("--config", default=None, help="YAML ExperimentConfig path")
-    p.add_argument("--database_path", required=False, default="data/")
-    p.add_argument("--protocols_path", required=False, default="protocols/")
+    # None (not the reference's "data/"/"protocols/" literals) so a --config
+    # YAML's paths are not clobbered by argparse defaults; the reference
+    # defaults apply only when neither source names a path.
+    p.add_argument("--database_path", required=False, default=None)
+    p.add_argument("--protocols_path", required=False, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--num_epochs", type=int, default=None)
@@ -50,10 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _default_paths(args, split: str, tag: str):
+def _default_paths(exp, split: str, tag: str):
+    track = exp.data.track
     proto = os.path.join(
-        args.protocols_path, f"ASVspoof2019.{args.track}.cm.{split}.{tag}.txt")
-    audio = os.path.join(args.database_path, f"ASVspoof2019_{args.track}_{split}")
+        exp.data.protocols_path, f"ASVspoof2019.{track}.cm.{split}.{tag}.txt")
+    audio = os.path.join(exp.data.database_path, f"ASVspoof2019_{track}_{split}")
     return proto, audio
 
 
@@ -80,14 +84,20 @@ def main(argv=None) -> int:
             for q in parts[:-1]:
                 obj = getattr(obj, q)
             setattr(obj, parts[-1], v)
-    exp.data.database_path = args.database_path
-    exp.data.protocols_path = args.protocols_path
+    if args.database_path is not None:
+        exp.data.database_path = args.database_path
+    elif not exp.data.database_path:
+        exp.data.database_path = "data/"
+    if args.protocols_path is not None:
+        exp.data.protocols_path = args.protocols_path
+    elif not exp.data.protocols_path:
+        exp.data.protocols_path = "protocols/"
     exp.data.track = args.track
 
-    train_proto_path = args.train_protocol or _default_paths(args, "train", "trn")[0]
-    train_dir = args.train_dir or _default_paths(args, "train", "trn")[1]
-    dev_proto_path = args.dev_protocol or _default_paths(args, "dev", "trl")[0]
-    dev_dir = args.dev_dir or _default_paths(args, "dev", "trl")[1]
+    train_proto_path = args.train_protocol or _default_paths(exp, "train", "trn")[0]
+    train_dir = args.train_dir or _default_paths(exp, "train", "trn")[1]
+    dev_proto_path = args.dev_protocol or _default_paths(exp, "dev", "trl")[0]
+    dev_dir = args.dev_dir or _default_paths(exp, "dev", "trl")[1]
 
     from adfmsl.data import DataLoader, PackedDataset
 
@@ -148,8 +158,8 @@ def main(argv=None) -> int:
         logging.info("restored checkpoint epoch %d", epoch)
 
     if args.eval:
-        eval_proto_path = args.eval_protocol or _default_paths(args, "eval", "trl")[0]
-        eval_dir = args.eval_dir or _default_paths(args, "eval", "trl")[1]
+        eval_proto_path = args.eval_protocol or _default_paths(exp, "eval", "trl")[0]
+        eval_dir = args.eval_dir or _default_paths(exp, "eval", "trl")[1]
         eval_proto = parse_protocol(eval_proto_path, exp.data.label_polarity)
         if args.eval_pack:
             loader = DataLoader(PackedDataset(args.eval_pack, eval_proto),

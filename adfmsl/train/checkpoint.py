@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from adfmsl.train.state import TrainState
@@ -66,6 +68,27 @@ class CheckpointManager:
         return state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"], step=restored["step"]), epoch
+
+    def restore_params(self, params, batch_stats, epoch: Optional[int] = None):
+        """Restore only params + batch_stats (structure-templated), ignoring the
+        saved opt_state — for transferring a trained trunk into a DIFFERENT
+        training setup (e.g. few-shot meta-training warm-started from a
+        supervised checkpoint, whose optimizer tree won't match). Prefers the
+        best epoch, falls back to latest. Returns (params, batch_stats, epoch)."""
+        if epoch is None:
+            epoch = self._mgr.best_step()
+            if epoch is None:
+                epoch = self._mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        restored = self._mgr.restore(epoch)   # saved structure, no template
+        merged_params = jax.tree.map(lambda _, new: jnp.asarray(new), params,
+                                     restored["params"])
+        stats = batch_stats
+        if batch_stats is not None and restored.get("batch_stats") is not None:
+            stats = jax.tree.map(lambda _, new: jnp.asarray(new), batch_stats,
+                                 restored["batch_stats"])
+        return merged_params, stats, epoch
 
     def best_epoch(self) -> Optional[int]:
         return self._mgr.best_step()

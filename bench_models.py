@@ -128,7 +128,7 @@ def bench_episodic(batch_eval: int = 4):
     def many(params, opt, n):
         def body(carry, _):
             p, o, last = carry
-            p2, o2, m = step(p, o, support + last * 1e-30, query)
+            p2, o2, _, m = step(p, o, support + last * 1e-30, query)
             return (p2, o2, m["loss"]), m["loss"]
         (p, o, last), losses = jax.lax.scan(body, (params, opt, jnp.float32(0.0)),
                                             None, length=n)

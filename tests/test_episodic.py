@@ -112,10 +112,88 @@ def test_episodic_training_learns_synthetic():
                         for _ in range(4)]).astype(np.float32)
         qry = np.stack([np.stack([make_class(0, 5), make_class(1, 5)])
                         for _ in range(4)]).astype(np.float32)
-        params, opt_state, m = step(params, opt_state, jnp.asarray(sup),
-                                    jnp.asarray(qry))
+        params, opt_state, _, m = step(params, opt_state, jnp.asarray(sup),
+                                       jnp.asarray(qry))
         accs.append(float(m["acc"]))
     assert np.mean(accs[-5:]) > 0.9
+
+
+def test_episodic_step_mesh_parity():
+    """SURVEY 2.9's last commitment: the episodic step sharded over the data
+    axis of an 8-virtual-device mesh must produce the SAME loss/params as the
+    single-device run (GSPMD over the episode axis)."""
+    from adfmsl.parallel.mesh import make_mesh, replicate, shard_batch
+
+    rng = np.random.default_rng(1)
+    t, e = 128, 8                      # episodes divisible by the 8-device axis
+    params = {"w": jnp.asarray(rng.standard_normal((t, 16)).astype(np.float32) * 0.1)}
+
+    def embed(p, x):
+        return x @ p["w"]
+
+    tx = optax.adam(1e-2)
+    sup = rng.standard_normal((e, 2, 3, t)).astype(np.float32)
+    qry = rng.standard_normal((e, 2, 4, t)).astype(np.float32)
+
+    step = make_episodic_train_step(embed, tx)
+    p1, _, _, m1 = step(params, tx.init(params), jnp.asarray(sup),
+                        jnp.asarray(qry))
+
+    mesh = make_mesh()
+    pr = replicate(mesh, params)
+    opt_r = replicate(mesh, tx.init(params))
+    sup_s, qry_s = shard_batch(mesh, (jnp.asarray(sup), jnp.asarray(qry)))
+    p8, _, _, m8 = step(pr, opt_r, sup_s, qry_s)
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p8["w"]), np.asarray(p1["w"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_episodic_step_threads_batch_stats():
+    """embed_train_fn receives and returns mutable stats; the step hands the
+    updated tree back (the VERDICT-flagged frozen-BN fix)."""
+    rng = np.random.default_rng(2)
+    t = 32
+    params = {"w": jnp.asarray(np.eye(t, 8, dtype=np.float32))}
+
+    def embed(p, x):
+        return x @ p["w"]
+
+    def embed_train(p, stats, x, step_rng):
+        # toy "running stats": exponential mean of the batch mean
+        new = {"mean": 0.9 * stats["mean"] + 0.1 * jnp.mean(x)}
+        return x @ p["w"], new
+
+    tx = optax.adam(1e-2)
+    step = make_episodic_train_step(embed, tx, embed_train_fn=embed_train)
+    stats = {"mean": jnp.zeros(())}
+    sup = jnp.asarray(rng.standard_normal((2, 2, 2, t)), dtype=jnp.float32) + 1.0
+    qry = jnp.asarray(rng.standard_normal((2, 2, 2, t)), dtype=jnp.float32) + 1.0
+    _, _, new_stats, _ = step(params, tx.init(params), sup, qry, stats,
+                              jax.random.PRNGKey(0))
+    assert float(new_stats["mean"]) != 0.0
+
+
+def test_episode_sampler_batch_io(fixture_dir):
+    """load_batch_fn (native batch decode path) must produce the same episode
+    tensors as the per-utterance load_fn."""
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+
+    def load(u):
+        v = float(int(u.split("_")[-1]))
+        return np.full(50, v, dtype=np.float32)
+
+    def load_batch(ids):
+        return np.stack([load(u) for u in ids])
+
+    a = EpisodeSampler(proto, load, n_way=2, k_shot=2, q_queries=1,
+                       episodes_per_batch=3, seed=7)
+    b = EpisodeSampler(proto, n_way=2, k_shot=2, q_queries=1,
+                       episodes_per_batch=3, seed=7, load_batch_fn=load_batch)
+    ba, bb = a.next_batch(), b.next_batch()
+    np.testing.assert_array_equal(ba.support, bb.support)
+    np.testing.assert_array_equal(ba.query, bb.query)
+    assert ba.class_names == bb.class_names
 
 
 def test_kshot_adapt_and_scores():
