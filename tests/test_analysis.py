@@ -221,6 +221,7 @@ def test_training_curves_figure(tmp_path, fixture_dir):
     assert os.path.exists(os.path.join(out_dir, "training_curves.png"))
 
 
+@pytest.mark.slow
 def test_batch_orchestrator_cli(fixture_dir, tmp_path, capsys):
     """adfmsl-batch trains every model in the YAML plan, scores the eval split,
     and aggregates (model_trainer.py:20-128 analog) — here with two tiny models

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy convergence e2e lane (CLAUDE.md test lanes)
+
 from adfmsl.config import make_experiment
 from adfmsl.data import AsvspoofDataset, DataLoader, parse_protocol
 from adfmsl.evaluation import compute_eer, evaluate_to_file, read_score_file

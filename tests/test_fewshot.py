@@ -9,6 +9,7 @@ from adfmsl.evaluation import compute_eer
 from adfmsl.train import FewshotConfig, FewshotTrainer
 
 
+@pytest.mark.slow
 def test_fewshot_meta_train_adapt_score(fixture_dir):
     exp = make_experiment("maze5")
     exp.data.cut = 8000
@@ -42,6 +43,7 @@ def test_fewshot_meta_train_adapt_score(fixture_dir):
     assert eer <= 0.25, f"adapted-prototype EER {eer} worse than the 0.25 gate"
 
 
+@pytest.mark.slow
 def test_fewshot_warm_start_from_checkpoint(fixture_dir, tmp_path):
     """--model_path semantics: FewshotTrainer restores params + BN running
     stats from a supervised checkpoint (Maze5_eval.py:321 analog) instead of

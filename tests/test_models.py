@@ -62,6 +62,7 @@ def test_score_semantics_log_softmax_vs_logit():
                                np.asarray(out6["logits"][:, 1]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_flows_and_w2v2_frozen():
     exp, m, variables = _build("maze7")
 
@@ -153,6 +154,7 @@ def test_rawnet_fused_eval_frontend_through_model():
                                   np.asarray(out_t2["logits"]))
 
 
+@pytest.mark.slow
 def test_rawnet_fused_train_frontend_gradients():
     """fused_train_frontend routes the TRAINING forward through the Pallas
     kernel via its custom VJP (backward = XLA recompute). Op level: the VJP is

@@ -42,6 +42,7 @@ def test_pad_batch_to_devices():
     assert a.shape == (8, 4) and not m[5:].any() and m[:5].all()
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single_device():
     """The pjit'd step over 8 devices must produce the same loss/update as the
     single-device step on the same global batch (collectives correctness)."""
@@ -87,6 +88,7 @@ def test_data_parallel_train_step_matches_single_device():
     assert max(jax.tree_util.tree_leaves(da)) <= 2.1 * lr
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import __graft_entry__ as g
 
@@ -96,6 +98,7 @@ def test_graft_entry_contract():
     assert lowered.compile() is not None
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
@@ -141,6 +144,7 @@ def test_mesh_sharded_eval_matches_single_device(fixture_dir, tmp_path):
     assert res1.metrics["eer"] == pytest.approx(res8.metrics["eer"], abs=1e-9)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_w2v2_model():
     """The dry run must also cover the w2v2 family (fusion + ASP + FMSL head)."""
     import __graft_entry__ as g
@@ -148,6 +152,7 @@ def test_graft_dryrun_multichip_w2v2_model():
     g.dryrun_multichip(8, exp_name="maze6_fmsl", cut=4000, per_dev=1)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_dp_tp():
     """DP x TP composition: 4-way data parallel x 2-way Megatron TP over the
     w2v2 encoder (parallel/tp.py), one full train step on the virtual mesh."""
@@ -156,6 +161,7 @@ def test_graft_dryrun_multichip_dp_tp():
     g.dryrun_multichip(8, exp_name="maze7_fmsl", cut=4000, per_dev=1, tp=2)
 
 
+@pytest.mark.slow
 def test_trainer_mesh_data_parallel_matches_single_device(fixture_dir):
     """Trainer(mesh=...) trains data-parallel over 8 devices and reaches the
     same losses/metrics as the single-device Trainer (same seed, same data)."""

@@ -58,6 +58,7 @@ def test_optimizers_construct():
         assert isinstance(tx, optax.GradientTransformation)
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_loss_decreases():
     exp = _tiny_exp("maze5")
     model, state = _state(exp)

@@ -105,6 +105,7 @@ def test_seed_reproducibility():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_trainer_reports_dev_eer(fixture_dir):
     from adfmsl.data import parse_protocol
     from adfmsl.train import Trainer, make_dataset_and_loader

@@ -94,6 +94,7 @@ def test_w2v2_full_base_arch_parity():
                                    atol=2e-4 * max(np.abs(t_ref).max(), 1.0))
 
 
+@pytest.mark.slow
 def test_remat_layers_same_params_and_outputs():
     """remat_layers=True must change neither the param tree (ports stay
     compatible) nor forward numerics — only backward memory behavior."""
