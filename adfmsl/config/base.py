@@ -77,7 +77,9 @@ class FMSLConfig:
     enable_lsa: bool = False        # latent space augmentation
     lsa_strength: float = 0.1
     # Integration mode: 'refine' (Mode A: embeddings feed the original classifier),
-    # 'replace' (Mode B: FMSL logits + external CE), 'integrated' (Mode C: internal loss).
+    # 'replace' (Mode B: FMSL logits + external CE), 'integrated' (Mode C: internal
+    # loss), 'fallback' (checkpoint-parity: the literal maze6_fmsl live path — FMSL
+    # computed but dead, fc1/fc2 classifier scores; models/mazes.py).
     mode: str = "replace"
     prototype_loss_weight: float = 0.1
 

@@ -155,7 +155,13 @@ class ResBlockSE(nn.Module):
                 res = SEBlock(self.out_channels, name="se")(res)
             return res
 
-        ref = self.semantics == "reference"
+        # 'maze2' (maze2.py:40-68, literal-oracle finding): identical to
+        # 'reference' except the 1x1 skip exists only on CHANNEL change —
+        # maze2's `downsample = (in != out) or (stride != 1 and first)` never
+        # fires on its stride-2 same-channel blocks (identity skip, post-add
+        # overlap pool).
+        m2 = self.semantics == "maze2"
+        ref = self.semantics == "reference" or m2
         m3 = self.semantics == "maze3"
         h = x
         if not self.first:
@@ -172,7 +178,8 @@ class ResBlockSE(nn.Module):
             h = SEBlock(self.out_channels, name="se")(h)
 
         skip = x
-        if self.in_channels != self.out_channels or (ref and self.stride > 1):
+        if self.in_channels != self.out_channels or (ref and not m2
+                                                     and self.stride > 1):
             skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
                            name="downsample")(skip)
         out = h + skip
@@ -213,10 +220,15 @@ class ResStack(nn.Module):
 
 
 class AttentiveStatsPooling(nn.Module):
-    """Attention-weighted mean || std over time -> (B, 2C) (maze6.py:167-180)."""
+    """Attention-weighted mean || std over time -> (B, 2C) (maze6.py:167-180).
+
+    ``use_std=False`` is maze6_fmsl's file-local variant
+    (maze6_fmsl_standardized.py:189-211): it concatenates the raw weighted
+    VARIANCE (no sqrt, no eps) — checkpoints trained on it need the same."""
 
     channels: int
     hidden: int = 128
+    use_std: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # (B, T, C)
@@ -225,8 +237,8 @@ class AttentiveStatsPooling(nn.Module):
         w = jax.nn.softmax(a, axis=1)
         mean = jnp.sum(w * x, axis=1)
         var = jnp.sum(w * (x - mean[:, None, :]) ** 2, axis=1)
-        std = jnp.sqrt(var + 1e-6)       # reference adds eps inside the sqrt
-        return jnp.concatenate([mean, std], axis=-1)
+        second = jnp.sqrt(var + 1e-6) if self.use_std else var
+        return jnp.concatenate([mean, second], axis=-1)
 
 
 class TransformerEncoderLayer(nn.Module):

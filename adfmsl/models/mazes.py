@@ -70,6 +70,7 @@ class MazeSpec:
     # (maze3's file-local Residual_Block_SE differs from maze4's — SURVEY 2.2).
     block_variant: Optional[str] = None
     use_se: bool = True                             # maze3_fmsl's blocks have no SE
+    asp_std: bool = True    # maze6_fmsl's ASP concatenates raw VARIANCE (:189-211)
 
 
 def _pooled_dim(spec: MazeSpec, trunk_dim: int) -> int:
@@ -171,7 +172,8 @@ class MazeModel(nn.Module):
                         name="transformer")(h, train=train)
 
             if spec.pooling == "asp":
-                pooled = AttentiveStatsPooling(h.shape[-1], name="asp")(h)
+                pooled = AttentiveStatsPooling(h.shape[-1], use_std=spec.asp_std,
+                                               name="asp")(h)
             else:
                 pooled = jnp.mean(h, axis=1)
             pooled = pooled.astype(jnp.float32)
@@ -203,6 +205,26 @@ class MazeModel(nn.Module):
             out["prototype_similarity"] = fout["prototype_similarity"]
             logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(
                 fout["embeddings"])
+        elif fmsl_cfg.mode == "fallback":
+            # The literal maze6_fmsl LIVE path (maze6_fmsl_standardized.py:345-361,
+            # literal-oracle finding): use_integrated_loss=False means the FMSL
+            # forward has no 'logits'; the try/except silently switches to the
+            # fallback classifier, so the trained checkpoint scores through
+            # fc1/ReLU/Dropout/fc2 and the FMSL system is dead weight (no
+            # gradient ever reaches it through the loss). Reproduced exactly for
+            # ported-checkpoint parity; the fixed default for maze6_fmsl stays
+            # 'replace' (config/standardized.py FMSL_MODES).
+            fdim = spec.fmsl_input_dim
+            feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
+            head = FMSLHead(fmsl_cfg, input_dim=fdim, name="fmsl")
+            fout = head(feats, labels=labels, train=train, mask=mask)
+            out["features"] = fout["embeddings"]
+            out["prototype_similarity"] = fout["prototype_similarity"]
+            h2 = nn.Dense(spec.fc1, name="fc1")(pooled)
+            h2 = nn.relu(h2)
+            h2 = nn.Dropout(cfg.architecture.fc_dropout,
+                            deterministic=not train)(h2)
+            logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(h2)
         else:
             fdim = spec.fmsl_input_dim
             feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
@@ -245,9 +267,11 @@ SPECS = {
     "maze2": MazeSpec("maze2", "w2v2", ref="maze2.py:119-193",
                       blocks=_W2V2_BLOCKS_MAZE2,
                       transformer=(256, 8, 6, 2048), transformer_plain=True,
-                      first_bn_act="selu", fc1=1024),
+                      first_bn_act="selu", fc1=1024, block_variant="maze2"),
+    # classifier = Linear(256, nb_fc_node=1024) -> ReLU -> Dropout -> Linear
+    # (maze3.py:137-143 with the :994 runtime config — literal-oracle check)
     "maze3": MazeSpec("maze3", "w2v2", ref="maze3.py:101-164", proj_dim=128,
-                      blocks=_W2V2_BLOCKS_MAZE3, fc1=256, fc1_act="relu",
+                      blocks=_W2V2_BLOCKS_MAZE3, fc1=1024, fc1_act="relu",
                       score="logit", block_variant="maze3"),
     "maze4": MazeSpec("maze4", "sinc", ref="maze4.py:165-247",
                       first_bn_act="selu", blocks=_SINC_BLOCKS, fc1=1024),
@@ -323,8 +347,12 @@ SPECS["maze6_fmsl"] = MazeSpec(
     "maze6_fmsl", "w2v2", ref="maze6_fmsl_standardized.py:213-382",
     proj_dim=128, first_bn_act="selu",
     blocks=((128, 128, 1), (128, 128, 2), (128, 256, 2)),
-    pooling="asp", fc1=256, score="logit", fmsl_input_dim=512,
-    fusion_layers=(0, 6, 12, 18, 24), block_variant="fmsl_plain")
+    # fc1=1024: the fallback classifier Linear(512,1024)/ReLU/Dropout/Linear
+    # (:310-317) — the checkpoint's LIVE head (see 'fallback' mode); the ASP
+    # variant concatenates raw variance (:189-211)
+    pooling="asp", fc1=1024, fc1_act="relu", score="logit", fmsl_input_dim=512,
+    fusion_layers=(0, 6, 12, 18, 24), block_variant="fmsl_plain",
+    asp_std=False)
 
 for _name, _spec in SPECS.items():
     model_registry.register(_name, (lambda sp: lambda cfg: MazeModel(spec=sp, cfg=cfg))(_spec))

@@ -155,6 +155,18 @@ class _Mapper:
         self.dense(f"{tkey}.attention_mlp.0", *path, "att1")
         self.dense(f"{tkey}.attention_mlp.2", *path, "att2")
 
+    def asp_conv(self, tkey: str, *path: str):
+        """maze6_fmsl's Conv1d-attention ASP (maze6_fmsl_standardized.py:189-197):
+        attention.0 (A,C,1) / attention.2 (1,A,1) k=1 convs == Dense att1/att2."""
+        for tsub, dest in ((f"{tkey}.attention.0", "att1"),
+                           (f"{tkey}.attention.2", "att2")):
+            w = self.take(f"{tsub}.weight")
+            b = self.take(f"{tsub}.bias")
+            if w is not None:
+                self._set(self.params, (*path, dest, "kernel"), w[:, :, 0].T)
+            if b is not None:
+                self._set(self.params, (*path, dest, "bias"), b)
+
     def conv_fmsl(self, tkey: str, *path: str):
         """maze8's FMSLLayer (maze8.py:76-131) -> blocks.ConvFMSLLayer."""
         self.conv(f"{tkey}.freq_modulation.0", *path, "freq_mod_conv")
@@ -428,16 +440,19 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         for i in range(2):
             m.res_block_plain(f"res_blocks.{i}", "trunk", f"block{i + 1}")
             m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
-        m.asp("attentive_pooling", "asp")
+        m.asp_conv("attentive_pooling", "asp")   # the file's Conv1d-attn ASP
         m.fmsl("fmsl_system", "fmsl")
         d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
         m.params["fmsl_projection"] = {
             "kernel": np.eye(d, dtype=np.float32),
             "bias": np.zeros(d, dtype=np.float32),
         }
-        for k in list(m.sd):   # fallback classifier (maze6_fmsl:99-106) — unused
-            if k.startswith("classifier."):
-                m.sd.pop(k)
+        # the 'fallback' classifier is the checkpoint's LIVE head (the FMSL
+        # logits path KeyErrors and is silently swallowed,
+        # maze6_fmsl_standardized.py:345-361) — map it to fc1/fc2
+        m.dense("classifier.0", "fc1")
+        m.dense("classifier.3", "fc2")
+        m.sd.pop("criterion.weight", None)
     elif model_name == "maze3_fmsl":
         # maze3_fmsl_standardized.py:139-256: fmsl_plain blocks (no SE), custom
         # in-proj/pos-emb transformer (:98-137), FMSL at 256
@@ -517,6 +532,10 @@ def reference_parity_experiment(model_name: str, drift: bool = True):
     exp.model.architecture.sinc_formula = "reference"
     exp.model.architecture.block_semantics = "reference"
     exp.model.dtype = "float32"   # torch reference runs f32 end to end
+    if model_name == "maze6_fmsl" and exp.model.fmsl is not None:
+        # literal live path: the FMSL logits KeyError is swallowed and the
+        # fallback classifier scores (maze6_fmsl_standardized.py:345-361)
+        exp.model.fmsl.mode = "fallback"
     return exp
 
 

@@ -69,7 +69,8 @@ class TSE(tnn.Module):
 class TRes(tnn.Module):
     """Reference Residual_Block_SE semantics (maze4.py:105-147)."""
 
-    def __init__(self, cin, cout, first=False, stride=1, p=0.3):
+    def __init__(self, cin, cout, first=False, stride=1, p=0.3,
+                 skip_on_stride=True):
         super().__init__()
         self.first, self.stride = first, stride
         if not first:
@@ -78,7 +79,9 @@ class TRes(tnn.Module):
         self.bn2 = tnn.BatchNorm1d(cout)
         self.dropout = tnn.Dropout(p)
         self.conv2 = tnn.Conv1d(cout, cout, 3, padding=1)
-        if cin != cout or stride != 1:
+        # maze2.py:52's drift: `(in != out) or (stride != 1 and first)` — no 1x1
+        # skip on its stride-2 same-channel blocks (skip_on_stride=False)
+        if cin != cout or (stride != 1 and skip_on_stride):
             self.conv_downsample = tnn.Conv1d(cin, cout, 1)
         self.pool = (tnn.AvgPool1d(2 * stride - 1, stride, stride - 1)
                      if stride > 1 else None)
@@ -456,7 +459,8 @@ class TMaze2(tnn.Module):
         plan = [(64, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2),
                 (128, 256, 2), (256, 256, 2)]
         for i, (a, b, s) in enumerate(plan):
-            setattr(self, f"block{i}", TRes(a, b, first=(i == 0), stride=s))
+            setattr(self, f"block{i}", TRes(a, b, first=(i == 0), stride=s,
+                                            skip_on_stride=False))
             setattr(self, f"se{i}", TSE(b))
         self.bn_before_transformer = tnn.BatchNorm1d(256)
         layer = tnn.TransformerEncoderLayer(
@@ -511,8 +515,8 @@ class TMaze3(tnn.Module):
         self.blocks = tnn.ModuleList([TM3Block(128, 128, first=True),
                                       TM3Block(128, 128)])
         self.final_block = TM3Block(128, 256)
-        self.classifier = tnn.Sequential(tnn.Linear(256, 256), tnn.ReLU(),
-                                         tnn.Dropout(0.5), tnn.Linear(256, 2))
+        self.classifier = tnn.Sequential(tnn.Linear(256, 1024), tnn.ReLU(),
+                                         tnn.Dropout(0.5), tnn.Linear(1024, 2))
 
     def forward(self, x):
         h = self.feature_projection(self.wav2vec2_extractor(x))
@@ -697,8 +701,28 @@ class TMaze6(tnn.Module):
         return self.fc2(self.fc1(h))                     # raw logits
 
 
+class TASPConvVar(tnn.Module):
+    """maze6_fmsl_standardized.py:189-211 ASP variant: Conv1d(k=1) attention and
+    mean || raw VARIANCE (no sqrt/eps) — the literal oracle's finding."""
+
+    def __init__(self, c, hidden=128):
+        super().__init__()
+        self.attention = tnn.Sequential(tnn.Conv1d(c, hidden, 1), tnn.Tanh(),
+                                        tnn.Conv1d(hidden, 1, 1),
+                                        tnn.Softmax(dim=2))
+
+    def forward(self, x):                                # (B, C, T)
+        w = self.attention(x)
+        mean = (w * x).sum(dim=2)
+        var = (w * (x - mean.unsqueeze(2)) ** 2).sum(dim=2)
+        return torch.cat([mean, var], dim=1)
+
+
 class TMaze6FMSL(tnn.Module):
-    """maze6_fmsl_standardized.py:213-382 (drift: 8 prototypes, s=5.0)."""
+    """maze6_fmsl_standardized.py:213-382. The FMSL logits path KeyErrors at
+    runtime (use_integrated_loss=False) and the except silently scores through
+    the fallback classifier (:345-361) — so the twin's forward IS the
+    classifier; the FMSL system rides along as (dead) ported weights."""
 
     def __init__(self):
         super().__init__()
@@ -710,8 +734,10 @@ class TMaze6FMSL(tnn.Module):
         self.res_blocks = tnn.ModuleList([TPlainBlock(128, 128, stride=2),
                                           TPlainBlock(128, 256, stride=2)])
         self.se_blocks = tnn.ModuleList([TSE(128), TSE(256)])
-        self.attentive_pooling = TASP(256)
+        self.attentive_pooling = TASPConvVar(256)
         self.fmsl_system = TFMSL(512, n_proto=8)
+        self.classifier = tnn.Sequential(tnn.Linear(512, 1024), tnn.ReLU(),
+                                         tnn.Dropout(0.5), tnn.Linear(1024, 2))
 
     def forward(self, x):
         h = self.feature_projection(self.wav2vec2_extractor(x))
@@ -720,9 +746,7 @@ class TMaze6FMSL(tnn.Module):
         for blk, se in zip(self.res_blocks, self.se_blocks):
             h = se(blk(h))
         h = self.attentive_pooling(h)
-        emb = self.fmsl_system(h)
-        w = tF.normalize(self.fmsl_system.weight, p=2, dim=-1)
-        return 5.0 * (emb @ w.T)
+        return self.classifier(h)                        # raw logits
 
 
 class TM2Block(tnn.Module):

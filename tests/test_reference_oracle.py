@@ -510,3 +510,267 @@ def test_literal_maze7_fmsl_forward_parity(monkeypatch):
     scale = max(float(np.abs(ref_logits).max()), 1.0)
     np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
                                atol=1e-3 * scale, rtol=1e-3)
+
+
+# ---- w2v2 baselines + fmsl variants: literal classes, tiny local w2v2 -----------
+
+def _patch_hub(monkeypatch):
+    """from_pretrained -> tiny local random-init Wav2Vec2 (zero egress; the
+    weights are ported, so random init is fine). The processor duck-type is an
+    HF feature extractor: zero-mean/unit-var per utterance, like the models'
+    manual normalisation."""
+    import transformers
+
+    from test_port import _tiny_hf_w2v2
+
+    tiny = _tiny_hf_w2v2()
+    fe = transformers.Wav2Vec2FeatureExtractor(do_normalize=True,
+                                               return_attention_mask=False)
+    monkeypatch.setattr(transformers.Wav2Vec2Processor, "from_pretrained",
+                        classmethod(lambda cls, name, **kw: fe))
+    monkeypatch.setattr(transformers.Wav2Vec2Model, "from_pretrained",
+                        classmethod(lambda cls, name, **kw: tiny))
+    return tiny
+
+
+def _port_w2v2(tmodel, name, x, spec_override=None, drop=("criterion.",),
+               mode_override=None):
+    from adfmsl.models.mazes import MazeModel
+    from adfmsl.models.w2v2 import W2V2Arch
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+          if not any(k.startswith(p) for p in drop)}
+    params, stats, report = port_maze_state_dict(sd, name,
+                                                 w2v2_arch=W2V2Arch.tiny())
+    assert report["missing"] == [], report["missing"]
+    assert report["unconsumed"] == [], report["unconsumed"]
+
+    exp = reference_parity_experiment(name)
+    exp.data.cut = x.shape[-1]
+    exp.model.wav2vec2.model_name = "tiny"
+    if mode_override and exp.model.fmsl is not None:
+        exp.model.fmsl.mode = mode_override
+    model = (MazeModel(spec=spec_override, cfg=exp.model) if spec_override
+             else build_model(exp.model))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    return model.apply(
+        {"params": merge_params(variables["params"], params),
+         "batch_stats": merge_params(variables["batch_stats"], stats)},
+        jnp.asarray(x), train=False)
+
+
+def test_literal_maze2_forward_parity(monkeypatch):
+    """maze2.py:119-193 — incl. its file-local block drift (1x1 skip on channel
+    change only, maze2.py:52) that the 'maze2' semantics reproduce."""
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/01_Baseline_Models/maze2.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = mod.Model7_RawNet_Wav2Vec2_SpecAug_FocalLoss(d_args, "cpu").eval()
+    rng = np.random.default_rng(10)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()        # log-softmax
+    out = _port_w2v2(tmodel, "maze2", x)
+    got = np.asarray(jax.nn.log_softmax(out["logits"], axis=-1))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_literal_maze3_forward_parity(monkeypatch):
+    """maze3.py:101-164 Model_Maze5 with the :994 runtime config
+    (nb_fc_node=1024 — the literal oracle corrected the spec)."""
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/01_Baseline_Models/maze3.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = mod.Model_Maze5(d_args, "cpu").eval()
+    rng = np.random.default_rng(11)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()        # raw logits
+    out = _port_w2v2(tmodel, "maze3", x)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_literal_maze6_forward_parity(monkeypatch):
+    """maze6.py:182-267 Model_Maze6: multi-level fusion (3 taps on the tiny
+    model; runtime uses [0,6,12,18,24] on large), projection, SE trunk,
+    4-layer transformer, Linear-attention ASP (std), raw logits."""
+    import dataclasses
+
+    from adfmsl.models.mazes import SPECS
+
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/01_Baseline_Models/maze6.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64,
+                  wav2vec2_output_layers=[0, 1, 2],
+                  wav2vec2_freeze_cnn=True, wav2vec2_unfrozen_transformers=0,
+                  transformer_num_layers=4)
+    tmodel = mod.Model_Maze6(d_args, "cpu").eval()
+    rng = np.random.default_rng(12)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()        # raw logits
+    # tiny w2v2: projected_dim falls back to wav2vec2_output_dim (=64) and the
+    # fusion has 3 taps; the canonical spec (1024-d projection, 5 taps) only
+    # parameterises conditions/shapes, so override those two
+    spec = dataclasses.replace(SPECS["maze6"], proj_dim=64,
+                               fusion_layers=(0, 1, 2))
+    out = _port_w2v2(tmodel, "maze6", x, spec_override=spec)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_literal_maze8_fmsl_keyerror_and_recoverable_parity(monkeypatch):
+    """maze8_fmsl_standardized.py:228-264: unlike maze7_fmsl (integrated=True),
+    maze8_fmsl builds its FMSL with use_integrated_loss=False yet reads
+    `fmsl_output['logits']` unconditionally — the literal forward KeyErrors in
+    BOTH modes (same defect family as main_fmsl/maze3_fmsl). Recoverable
+    semantics: TAdaptBlock trunk -> pooled -> FMSL intended AM logits (s=2)."""
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/02_FMSL_Enhanced_Models/maze8_fmsl_standardized.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = mod.Model8_RawNet_Wav2Vec2_FMSL_Standardized(d_args, "cpu").eval()
+    rng = np.random.default_rng(13)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(KeyError):
+        tmodel(torch.from_numpy(x), training=False)
+
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        h = tmodel.feature_projection(tmodel.wav2vec2_extractor(t))
+        h = tmodel.selu(tmodel.first_bn(h))
+        h = tmodel.se0(tmodel.block0(h))
+        for blk, se in zip(tmodel.res_blocks, tmodel.se_blocks):
+            h = se(blk(h))
+        pooled = tmodel.global_pool(h).squeeze(-1)
+        fo = tmodel.fmsl_system(pooled, training=False)
+        emb = fo["normalized_embeddings"]
+        w = torch.nn.functional.normalize(tmodel.fmsl_system.weight, p=2, dim=-1)
+        intended = (2.0 * (emb @ w.T)).numpy()
+
+    out = _port_w2v2(tmodel, "maze8_fmsl", x)
+    np.testing.assert_allclose(np.asarray(out["features"]), emb.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    scale = max(float(np.abs(intended).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), intended,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_literal_maze6_fmsl_fallback_parity(monkeypatch):
+    """maze6_fmsl_standardized.py:213-382 FULL literal forward. The FMSL logits
+    KeyError is swallowed at :345-361 and the fallback classifier scores — the
+    reference's best-overall model (EER 0.0257) never actually uses its FMSL
+    logits. The ported model under parity semantics ('fallback' mode, Conv-attn
+    variance ASP) must match the literal output bit-comparably."""
+    import dataclasses
+
+    from adfmsl.models.mazes import SPECS
+
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/02_FMSL_Enhanced_Models/maze6_fmsl_standardized.py")
+    d_args = dict(D_ARGS, wav2vec2_base_dim=64,
+                  wav2vec2_output_layers=[0, 1, 2],
+                  use_spec_augment_w2v2=False)
+    tmodel = mod.Model6_RawNet_Wav2Vec2_FMSL_Standardized(d_args, "cpu").eval()
+    assert tmodel.use_fmsl
+    rng = np.random.default_rng(14)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), training=False)
+    assert not tmodel.use_fmsl   # the literal silently disabled its own FMSL
+    ref_logits = ref["logits"].numpy()                   # fallback classifier
+    spec = dataclasses.replace(SPECS["maze6_fmsl"], fusion_layers=(0, 1, 2))
+    out = _port_w2v2(tmodel, "maze6_fmsl", x, spec_override=spec)
+    scale = max(float(np.abs(ref_logits).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_literal_maze3_fmsl_keyerror_and_recoverable_parity(monkeypatch):
+    """maze3_fmsl_standardized.py:219-256: `fmsl_output['logits']` with
+    use_integrated_loss=False KeyErrors in BOTH modes (same defect family as
+    main_fmsl). The recoverable semantics — trunk -> transformer -> pooled ->
+    FMSL embeddings + intended AM-softmax logits — must match adfmsl's
+    maze3_fmsl (Mode B replace)."""
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/02_FMSL_Enhanced_Models/maze3_fmsl_standardized.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = mod.Model3_RawNetSinc_SE_Transformer_FMSL_Standardized(
+        d_args, "cpu").eval()
+    rng = np.random.default_rng(15)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(KeyError):
+        tmodel(torch.from_numpy(x), training=False)
+
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        h = tmodel.feature_projection(tmodel.wav2vec2_extractor(t))
+        for b in tmodel.blocks:
+            h = b(h)
+        h = tmodel.final_block(h)
+        h = tmodel.transformer(h)
+        pooled = tmodel.global_pool(h).squeeze(-1)
+        fo = tmodel.fmsl_system(pooled, training=False)
+        emb = fo["normalized_embeddings"]
+        w = torch.nn.functional.normalize(tmodel.fmsl_system.weight, p=2, dim=-1)
+        intended = (32.0 * (emb @ w.T)).numpy()
+
+    out = _port_w2v2(tmodel, "maze3_fmsl", x)
+    np.testing.assert_allclose(np.asarray(out["features"]), emb.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    scale = max(float(np.abs(intended).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), intended,
+                               atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_literal_maze2_fmsl_crash_and_recoverable_parity(monkeypatch):
+    """maze2_fmsl_standardized.py:466-470: pooled 256-d features pass through a
+    lazily-created Linear(256,512) into an FMSL built with input_dim=256 — the
+    literal forward ALWAYS crashes on the shape mismatch. The recoverable
+    checkpoint semantics (pooled 256 feeds the FMSL directly) must match
+    adfmsl's maze2_fmsl."""
+    _patch_hub(monkeypatch)
+    mod = load_ref("01_Models/02_FMSL_Enhanced_Models/maze2_fmsl_standardized.py")
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = mod.Model2_Wav2Vec2_SpecAugment_Focal_FMSL(d_args, "cpu").eval()
+    rng = np.random.default_rng(16)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(RuntimeError):
+        tmodel(torch.from_numpy(x), training=False)
+
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        h = tmodel.feature_projection(tmodel.wav2vec2_extractor(t))
+        h = tmodel.selu(tmodel.first_bn(h))
+        h = tmodel.block2(tmodel.block1(tmodel.block0(h)))
+        pooled = tmodel.avg_pool(h).squeeze(-1)          # (B, 256)
+        fo = tmodel.fmsl_system(pooled, training=False)
+        emb = fo["normalized_embeddings"]
+        w = torch.nn.functional.normalize(tmodel.fmsl_system.weight, p=2, dim=-1)
+        intended = (32.0 * (emb @ w.T)).numpy()
+
+    # the dead lazy fmsl_projection never materialises in a no-grad eval crash,
+    # so the state dict is exactly the checkpoint-compatible subset
+    out = _port_w2v2(tmodel, "maze2_fmsl", x)
+    np.testing.assert_allclose(np.asarray(out["features"]), emb.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    scale = max(float(np.abs(intended).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out["logits"]), intended,
+                               atol=1e-3 * scale, rtol=1e-3)
