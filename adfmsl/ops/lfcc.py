@@ -35,7 +35,7 @@ def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 def lfcc(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
          hop_length: int = 160, win_length: int = 400, n_filter: int = 70,
-         n_lfcc: int = 60, log_eps: float = 1e-6, impl: str = "conv",
+         n_lfcc: int = 60, log_eps: float = 1e-6, impl: str = "s2d",
          precision: str = "high") -> jnp.ndarray:
     """(..., T) waveform -> (..., frames, n_lfcc). ``precision`` tiers the DFT
     matmul (ops/stft.py); 'high' keeps ~2e-4 relative parity at ~1.4x the
@@ -52,7 +52,7 @@ def lfcc(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
 def logmel(x: jnp.ndarray, sample_rate: int = 16000, n_fft: int = 512,
            hop_length: int = 160, win_length: int = 400, n_mels: int = 80,
            fmin: float = 0.0, fmax=None, log_eps: float = 1e-6,
-           impl: str = "conv", precision: str = "high") -> jnp.ndarray:
+           impl: str = "s2d", precision: str = "high") -> jnp.ndarray:
     """(..., T) waveform -> (..., frames, n_mels) log-mel spectrogram."""
     p = power_spectrogram(x, n_fft, hop_length, win_length, impl=impl,
                           precision=precision)

@@ -92,6 +92,50 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
     return p.reshape(lead + p.shape[1:])
 
 
+def stft_s2d(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
+             win_length: int = 400, center: bool = True,
+             precision: str = "high"):
+    """Power spectrogram via a SPACE-TO-DEPTH strided conv — the fastest v5e
+    form (round-3 measurement: full LFCC 150k utt/s vs 106k for ``stft_conv``
+    at the same 'high' tier).
+
+    ``stft_conv`` feeds the conv a (B, T, 1) input: channel dim 1 of the 128
+    vector lanes, so the strided window walk dominates the runtime (a fixed
+    ~1.4 ms/batch at 384x4 s regardless of column count). Here the waveform is
+    reshaped to (B, T//hop, hop) — hop-sized blocks AS CHANNELS — and the
+    stride-``hop`` window becomes a dense stride-1 conv over ``ceil(win/hop)``
+    block positions whose kernel rows past ``win_length`` are zero. Same math,
+    MXU-friendly input layout. Numerically identical to stft_matmul/stft_conv
+    (same DFT matrices, same pass count per ``precision``)."""
+    lead = x.shape[:-1]
+    x = x.reshape((-1, x.shape[-1]))
+    if center:
+        pad = win_length // 2
+        x = jnp.pad(x, [(0, 0), (pad, pad)], mode="reflect")
+    m = x.shape[1]
+    n_frames = (m - win_length) // hop_length + 1
+    wb = -(-win_length // hop_length)            # window span in blocks
+    need = (n_frames + wb - 1) * hop_length
+    if m < need:
+        # zero tail only ever multiplies the kernel's zero rows / frames >= n_frames
+        x = jnp.pad(x, [(0, 0), (0, need - m)])
+    blocks = x[:, :need].reshape(-1, need // hop_length, hop_length)
+    cre, cim = _dft_matrices(n_fft, win_length)
+    k = np.zeros((wb * hop_length, cre.shape[1] * 2), np.float32)
+    k[:win_length] = np.concatenate([cre, cim], axis=1)
+    out = jax.lax.conv_general_dilated(
+        blocks, jnp.asarray(k.reshape(wb, hop_length, -1)),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=resolve_precision(precision),
+        preferred_element_type=jnp.float32,
+    )[:, :n_frames]
+    n_bins = n_fft // 2 + 1
+    re, im = out[..., :n_bins], out[..., n_bins:]
+    p = re * re + im * im
+    return p.reshape(lead + p.shape[1:])
+
+
 def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
              win_length: int = 400, center: bool = True,
              precision: str = "high"):
@@ -107,6 +151,7 @@ def stft_fft(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
 
 
 def power_spectrogram(x, n_fft=512, hop_length=160, win_length=400, center=True,
-                      impl: str = "conv", precision: str = "high"):
-    fn = {"matmul": stft_matmul, "fft": stft_fft, "conv": stft_conv}[impl]
+                      impl: str = "s2d", precision: str = "high"):
+    fn = {"matmul": stft_matmul, "fft": stft_fft, "conv": stft_conv,
+          "s2d": stft_s2d}[impl]
     return fn(x, n_fft, hop_length, win_length, center, precision=precision)

@@ -231,3 +231,20 @@ def test_lfcc_leading_batch_dims():
     assert out.shape[:2] == (2, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stft_s2d_matches_conv_all_shapes():
+    """The space-to-depth form (ops/stft.py:stft_s2d — the v5e-fastest layout,
+    now the default impl) must equal stft_conv bit-comparably, including frame
+    counts at awkward (T mod hop) remainders."""
+    from adfmsl.ops.stft import stft_conv, stft_s2d
+
+    rng = np.random.default_rng(0)
+    for t in (64600, 8000, 4000, 3999, 4085, 64520):
+        x = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32))
+        a = stft_conv(x, precision="highest")
+        b = stft_s2d(x, precision="highest")
+        assert a.shape == b.shape
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-6 * scale)
