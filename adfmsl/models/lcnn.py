@@ -37,6 +37,10 @@ class LCNN(nn.Module):
                      precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
+        # the DSP front end is parameterless: its VJP can only feed d/d(audio),
+        # which no caller uses — cut it so the backward never retraverses the
+        # DFT pipeline (round-3 train-throughput fix, VERDICT #9)
+        feats = jax.lax.stop_gradient(feats)
         h = feats[..., None]                             # (B, F, C, 1)
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
@@ -94,6 +98,10 @@ class LCNN1D(nn.Module):
                      precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
+        # the DSP front end is parameterless: its VJP can only feed d/d(audio),
+        # which no caller uses — cut it so the backward never retraverses the
+        # DFT pipeline (round-3 train-throughput fix, VERDICT #9)
+        feats = jax.lax.stop_gradient(feats)
         h = feats                                        # (B, T, n_lfcc)
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 

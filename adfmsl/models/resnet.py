@@ -48,6 +48,10 @@ class ResNet18(nn.Module):
                        precision=fe.dsp_precision)
         if fe.cmvn:
             feats = cmvn(feats)
+        # the DSP front end is parameterless: its VJP can only feed d/d(audio),
+        # which no caller uses — cut it so the backward never retraverses the
+        # DFT pipeline (round-3 train-throughput fix, VERDICT #9)
+        feats = jax.lax.stop_gradient(feats)
         h = feats[..., None]
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
