@@ -774,3 +774,32 @@ def test_literal_maze2_fmsl_crash_and_recoverable_parity(monkeypatch):
     scale = max(float(np.abs(intended).max()), 1.0)
     np.testing.assert_allclose(np.asarray(out["logits"]), intended,
                                atol=1e-3 * scale, rtol=1e-3)
+
+
+# ---- maze7 / maze8 baselines: literal classes ------------------------------------
+
+@pytest.mark.parametrize("relpath,clsname,name", [
+    ("01_Models/01_Baseline_Models/maze7.py", None, "maze7"),
+    ("01_Models/01_Baseline_Models/maze8.py", None, "maze8"),
+])
+def test_literal_maze7_maze8_forward_parity(monkeypatch, relpath, clsname, name):
+    """maze7.py:144-217 / maze8.py:193-277 (conv-FMSL layer) — the w2v2 + maze5
+    block trunk baselines, literal classes with a tiny local w2v2."""
+    _patch_hub(monkeypatch)
+    mod = load_ref(relpath)
+    cls = next(getattr(mod, n) for n in dir(mod)
+               if n.startswith("Model") and "RawNet_Wav2Vec2" in n)
+    d_args = dict(D_ARGS, wav2vec2_output_dim=64)
+    tmodel = cls(d_args, "cpu").eval()
+    rng = np.random.default_rng(17)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    x = rng.standard_normal((2, CUT)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x))
+        ref = (ref.numpy() if isinstance(ref, torch.Tensor)
+               else ref["logits"].numpy())
+    out = _port_w2v2(tmodel, name, x)
+    got = np.asarray(jax.nn.log_softmax(out["logits"], axis=-1))
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=1e-3 * scale, rtol=1e-3)
