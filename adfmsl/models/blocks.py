@@ -72,7 +72,10 @@ class ResBlockSE(nn.Module):
     dropout_rate: float = 0.3
     first: bool = False
     use_se: bool = True
-    # 'tpu' (default): non-overlap pool, SE pre-pool, skip-conv on channel change.
+    # 'tpu' (default): pool-early — the anti-aliased overlap pool downsamples
+    # the block INPUT, then BN/conv/SE run at the reduced length (round-3
+    # redesign, ~1.5x round-2's pool-last form on v5e at identical FLOPs
+    # ordering; BN-free identity skip).
     # 'reference': exact maze4.py:105-147 semantics — AvgPool1d(2s-1, s, pad=s-1)
     # counting pads, SE applied AFTER pooling, 1x1 skip when stride>1 OR channel
     # change. 'maze3': the maze3.py:206-263 variant — SE on the conv branch
@@ -155,6 +158,45 @@ class ResBlockSE(nn.Module):
                 res = SEBlock(self.out_channels, name="se")(res)
             return res
 
+        if self.semantics == "tpu":
+            # TPU-native default (round-3 redesign): DOWNSAMPLE FIRST — the
+            # anti-aliased overlap avg_pool runs on the raw block input, then
+            # the round-2 block ordering runs at the REDUCED length (the
+            # reference pools after full-length convs; the FLOPs win is the
+            # same either way). Measured on maze5 (64x4 s, v5e): trunk ~42 ->
+            # ~29 ms/batch. Two designs were measured and REJECTED here:
+            # a strided-conv pre-act form (ResNet-v2 style) trains to 100% but
+            # its eval-mode accuracy collapses to chance once overfit — the
+            # un-smoothed strided path amplifies the BN train/eval statistics
+            # gap per block (e2e fixture, 20 epochs); and bf16 BatchNorm,
+            # which measured ZERO gain at b128/b192. The identity skip is
+            # BN-free RAW x throughout; only channel changes add a 1x1 conv.
+            if self.stride > 1:
+                x = nn.avg_pool(x, (2 * self.stride - 1,),
+                                strides=(self.stride,),
+                                padding=((self.stride - 1, self.stride - 1),))
+            h = x
+            if not self.first:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="bn1")(h)
+                h = nn.relu(h)
+            h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                        dtype=self.dtype, name="conv1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="bn2")(h)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                        dtype=self.dtype, name="conv2")(h)
+            skip = x
+            if self.in_channels != self.out_channels:
+                skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                               name="downsample")(x)
+            out = h + skip
+            if self.use_se:
+                out = SEBlock(self.out_channels, name="se")(out)
+            return out
+
         # 'maze2' (maze2.py:40-68, literal-oracle finding): identical to
         # 'reference' except the 1x1 skip exists only on CHANNEL change —
         # maze2's `downsample = (in != out) or (stride != 1 and first)` never
@@ -183,18 +225,13 @@ class ResBlockSE(nn.Module):
             skip = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
                            name="downsample")(skip)
         out = h + skip
-        if self.use_se and not (ref or m3):
-            out = SEBlock(self.out_channels, name="se")(out)
         if self.stride > 1:
-            if ref or m3:
-                # torch AvgPool1d(kernel=2s-1, stride=s, padding=s-1) with
-                # count_include_pad=True (flax avg_pool divides by the full
-                # window size, matching)
-                out = nn.avg_pool(out, (2 * self.stride - 1,),
-                                  strides=(self.stride,),
-                                  padding=((self.stride - 1, self.stride - 1),))
-            else:
-                out = nn.avg_pool(out, (self.stride,), strides=(self.stride,))
+            # torch AvgPool1d(kernel=2s-1, stride=s, padding=s-1) with
+            # count_include_pad=True (flax avg_pool divides by the full
+            # window size, matching)
+            out = nn.avg_pool(out, (2 * self.stride - 1,),
+                              strides=(self.stride,),
+                              padding=((self.stride - 1, self.stride - 1),))
         if self.use_se and ref:
             out = SEBlock(self.out_channels, name="se")(out)
         return out

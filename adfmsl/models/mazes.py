@@ -113,7 +113,12 @@ class MazeModel(nn.Module):
             if spec.frontend == "sinc":
                 h = SincConv(cfg.architecture.filts[0], cfg.architecture.first_conv,
                              cfg.architecture.sample_rate,
-                             formula=cfg.architecture.sinc_formula, name="sinc")(x)
+                             formula=cfg.architecture.sinc_formula,
+                             # f32 parity checkpoints need exact conv passes on
+                             # TPU (DEFAULT = 1-pass bf16 there)
+                             precision=("highest" if cfg.dtype == "float32"
+                                        else None),
+                             name="sinc")(x)
             elif spec.frontend == "w2v2":
                 enc = Wav2Vec2Encoder(arch=self._w2v2_arch(), dtype=dtype,
                                       remat_layers=cfg.wav2vec2.remat_layers,

@@ -9,7 +9,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from adfmsl.ops.sinc import sinc_conv, sinc_conv_block_gemm, sinc_filters, sinc_init
+from adfmsl.ops.sinc import (sinc_conv, sinc_conv_block_gemm, sinc_conv_nhc,
+                             sinc_filters, sinc_init)
 
 
 class SincConv(nn.Module):
@@ -20,8 +21,9 @@ class SincConv(nn.Module):
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
     formula: str = "textbook"
-    impl: str = "block_gemm"   # GEMM-native: identical output, ~40x faster compile
-                               # than XLA's 1-channel conv lowering (ops/sinc.py)
+    impl: str = "nhc"          # channels-last lax.conv — round-3 measurement:
+                               # 4.7x the block-GEMM form on v5e (ops/sinc.py);
+                               # 'block_gemm' kept as the round-1/2 alternative
     # 'abs_pool3' fuses the RawNet front end epilogue (|.| + MaxPool3). With
     # fused_eval=True the whole front end runs as the Pallas kernel at eval time
     # (2x the XLA composition on v5e; TPU only). fused_train=True additionally
@@ -30,6 +32,9 @@ class SincConv(nn.Module):
     post: str = "none"
     fused_eval: bool = False
     fused_train: bool = False
+    # 'highest' pins exact-f32 conv passes (reference-parity checkpoints on
+    # TPU, where DEFAULT means 1-pass bf16); None = backend default.
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -49,11 +54,16 @@ class SincConv(nn.Module):
             # virtual meshes) run the same kernel in interpret mode.
             interpret = jax.default_backend() != "tpu"
             return sinc_abs_pool(x, filt, interpret)     # (B, T3, C)
-        if self.impl == "block_gemm" and self.stride == 1:
-            y = sinc_conv_block_gemm(x, filt)            # (B, C, T')
+        if self.impl == "nhc" and self.stride == 1:
+            import jax
+
+            prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
+                    else None)
+            h = sinc_conv_nhc(x, filt, precision=prec)   # (B, T', C)
+        elif self.impl == "block_gemm" and self.stride == 1:
+            h = jnp.transpose(sinc_conv_block_gemm(x, filt), (0, 2, 1))
         else:
-            y = sinc_conv(x, filt, stride=self.stride)
-        h = jnp.transpose(y, (0, 2, 1))                  # (B, T', C)
+            h = jnp.transpose(sinc_conv(x, filt, stride=self.stride), (0, 2, 1))
         if self.post == "abs_pool3":
             import flax.linen as _nn
 

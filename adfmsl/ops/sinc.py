@@ -139,6 +139,25 @@ def sinc_conv_block_gemm(x: jnp.ndarray, filters: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1))
 
 
+def sinc_conv_nhc(x: jnp.ndarray, filters: jnp.ndarray,
+                  precision=None) -> jnp.ndarray:
+    """Stride-1 VALID filterbank conv in the (NHC, HIO, NHC) layout:
+    (B, T) x (C, K) -> (B, T', C) channels-last, matching the trunk.
+
+    Round-3 measurement (v5e, batch 64 x 64600, K=251, C=128): 6.3 ms/batch vs
+    29.8 ms for sinc_conv_block_gemm and ~20 ms for the NCH layout — XLA's
+    current NHC lowering beats the hand-blocked GEMM by ~4.7x, so this is the
+    default model path (ops-level; the block-GEMM form stays for reference)."""
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None], filters.T[:, None, :],      # (K, 1, C)
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return out                                      # (B, T', C)
+
+
 def sinc_conv(x: jnp.ndarray, filters: jnp.ndarray, stride: int = 1,
               padding: str | int = 0) -> jnp.ndarray:
     """Apply the filterbank: (B, T) -> (B, C, T'). Uses XLA conv (MXU)."""

@@ -15,10 +15,28 @@ import sys
 import numpy as np
 
 from bench import _time_one_sync   # the axon-tunnel timing rule lives in ONE place
+from bench import PEAK_BF16_FLOPS
 
 CUT = 64600
 N_EVAL = 16
 N_TRAIN = 8
+
+
+def _mfu_pct(jitted_lowerable, dt_per_iter):
+    """% of v5e bf16 peak for ONE iteration of the lowered program. XLA's
+    cost_analysis counts a lax.scan body once regardless of trip count, so the
+    caller lowers a length-1 program and passes the measured per-iteration time
+    (bench.py MFU trick)."""
+    try:
+        ca = jitted_lowerable.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            return round(100.0 * flops / dt_per_iter / PEAK_BF16_FLOPS, 2)
+    except Exception:
+        pass
+    return None
 
 
 def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
@@ -50,8 +68,10 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry + sums.sum()
 
-    eval_rate = batch_eval * N_EVAL / _time_one_sync(
-        lambda: fwd_many(variables, x, N_EVAL))
+    dt_eval = _time_one_sync(lambda: fwd_many(variables, x, N_EVAL))
+    eval_rate = batch_eval * N_EVAL / dt_eval
+    eval_mfu = _mfu_pct(jax.jit(fwd_many, static_argnums=2).lower(
+        variables, x, 1), dt_eval / N_EVAL)
 
     xt = jnp.asarray(rng.standard_normal((batch_train, CUT)).astype(np.float32))
     labels = jnp.asarray(np.arange(batch_train) % 2, dtype=jnp.int32)
@@ -83,9 +103,11 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
 
     carry0 = (vt["params"], vt.get("batch_stats", {}), tx.init(vt["params"]),
               jnp.float32(0.0))
-    train_rate = batch_train * N_TRAIN / _time_one_sync(
-        lambda: train_many(carry0, N_TRAIN))
-    return eval_rate, train_rate
+    dt_train = _time_one_sync(lambda: train_many(carry0, N_TRAIN))
+    train_rate = batch_train * N_TRAIN / dt_train
+    train_mfu = _mfu_pct(jax.jit(train_many, static_argnums=1).lower(
+        carry0, 1), dt_train / N_TRAIN)
+    return eval_rate, train_rate, eval_mfu, train_mfu
 
 
 def bench_episodic(batch_eval: int = 4):
@@ -156,9 +178,10 @@ def main():
         if name == "episodic":
             print(json.dumps(bench_episodic()))
             continue
-        ev, tr = bench_model(name)
+        ev, tr, emfu, tmfu = bench_model(name)
         print(json.dumps({"model": name, "eval_utt_s_chip": round(ev, 1),
                           "train_utt_s_chip": round(tr, 1),
+                          "eval_mfu_pct": emfu, "train_mfu_pct": tmfu,
                           "note": ("full arch, random-init w2v2 backbone" if
                                    build_needs_w2v2(name) else "full size")}))
 

@@ -49,6 +49,54 @@ def test_forward_contract(name):
         assert "loss" not in out_t
 
 
+def test_tpu_block_identity_skip_is_bn_free():
+    """Regression (round 3): the 'tpu' block's identity skip must be RAW x, not
+    the bn1+relu pre-activation — routing it through BN injects the train/eval
+    statistics gap into every block's skip path (trains fine, eval-mode dev acc
+    collapses to chance on the e2e fixture). With the conv kernels zeroed and no
+    SE, an identity block must return x EXACTLY in both modes, independent of
+    the (unconverged, init-state) BN running statistics."""
+    from adfmsl.models.blocks import ResBlockSE
+
+    blk = ResBlockSE(16, 16, stride=1, dropout_rate=0.0, first=False,
+                     use_se=False, semantics="tpu")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 32, 16)).astype(np.float32))          # negatives exercise the relu
+    variables = blk.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.zeros_like(a) if a.ndim >= 2 else a, variables["params"])
+    variables = {**variables, "params": params}
+    out_eval = blk.apply(variables, x, train=False)
+    out_train, _ = blk.apply(variables, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(x), atol=1e-6)
+
+
+def test_tpu_block_strided_skip_survives_bn_saturation():
+    """Regression (round 3), the strided-block variant of the same defect: the
+    downsample conv must read RAW x, not relu(bn1(x)). With bn1's running mean
+    pushed far positive, eval-mode relu(bn1(x)) is identically zero — the conv
+    branch emits a constant — so a block whose skip ALSO read the activation
+    would map every input to the same output. The BN-free skip must keep the
+    block input-sensitive."""
+    from adfmsl.models.blocks import ResBlockSE
+
+    blk = ResBlockSE(16, 16, stride=2, dropout_rate=0.0, first=False,
+                     use_se=False, semantics="tpu")
+    rng = np.random.default_rng(4)
+    x1 = jnp.asarray(rng.standard_normal((2, 32, 16)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 32, 16)).astype(np.float32))
+    variables = blk.init({"params": jax.random.PRNGKey(0)}, x1, train=False)
+    stats = jax.tree_util.tree_map(lambda a: a, variables["batch_stats"])
+    stats["bn1"]["mean"] = stats["bn1"]["mean"] + 1e3   # saturate the relu
+    variables = {**variables, "batch_stats": stats}
+    o1 = np.asarray(blk.apply(variables, x1, train=False))
+    o2 = np.asarray(blk.apply(variables, x2, train=False))
+    assert np.abs(o1 - o2).max() > 1e-3
+
+
 def test_score_semantics_log_softmax_vs_logit():
     _, m5, v5 = _build("maze5")
     out = m5.apply(v5, X, train=False)
