@@ -10,7 +10,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adfmsl.ops.sinc import (sinc_conv, sinc_conv_block_gemm, sinc_conv_nhc,
-                             sinc_filters, sinc_init)
+                             sinc_conv_s2d, sinc_filters, sinc_init)
 
 
 class SincConv(nn.Module):
@@ -23,7 +23,12 @@ class SincConv(nn.Module):
     formula: str = "textbook"
     impl: str = "nhc"          # channels-last lax.conv — round-3 measurement:
                                # 4.7x the block-GEMM form on v5e (ops/sinc.py);
-                               # 'block_gemm' kept as the round-1/2 alternative
+                               # 'block_gemm' kept as the round-1/2 alternative.
+                               # 's2d' (space-to-depth phase decomposition,
+                               # ops/sinc.py:sinc_conv_s2d) measured 3.4x SLOWER
+                               # than nhc on v5e (21.6 vs 6.4 ms/b64) — unlike
+                               # the STFT, the K=251 stride-1 conv already keeps
+                               # the MXU busy; kept as an opt-in negative result
     # 'abs_pool3' fuses the RawNet front end epilogue (|.| + MaxPool3). With
     # fused_eval=True the whole front end runs as the Pallas kernel at eval time
     # (2x the XLA composition on v5e; TPU only). fused_train=True additionally
@@ -54,12 +59,15 @@ class SincConv(nn.Module):
             # virtual meshes) run the same kernel in interpret mode.
             interpret = jax.default_backend() != "tpu"
             return sinc_abs_pool(x, filt, interpret)     # (B, T3, C)
-        if self.impl == "nhc" and self.stride == 1:
+        if self.impl in ("nhc", "s2d") and self.stride == 1:
             import jax
 
             prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
                     else None)
-            h = sinc_conv_nhc(x, filt, precision=prec)   # (B, T', C)
+            if self.impl == "s2d":
+                h = sinc_conv_s2d(x, filt, precision=prec)  # (B, T', C)
+            else:
+                h = sinc_conv_nhc(x, filt, precision=prec)  # (B, T', C)
         elif self.impl == "block_gemm" and self.stride == 1:
             h = jnp.transpose(sinc_conv_block_gemm(x, filt), (0, 2, 1))
         else:

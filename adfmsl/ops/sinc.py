@@ -158,6 +158,66 @@ def sinc_conv_nhc(x: jnp.ndarray, filters: jnp.ndarray,
     return out                                      # (B, T', C)
 
 
+def s2d_phase_kernel(filters: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """(C, K) filters -> (M, hop, hop*C) phase-decomposed conv weights.
+
+    W[m, i, p*C + c] = filters[c, m*hop + i - p] (zero outside [0, K)):
+    tap-block m, within-block sample i, output phase p. Differentiable w.r.t.
+    filters (a masked gather, like block_toeplitz_mats)."""
+    c, k = filters.shape
+    m_taps = -(-(k + hop - 1) // hop)
+    m = jnp.arange(m_taps)[:, None, None]
+    i = jnp.arange(hop)[None, :, None]
+    p = jnp.arange(hop)[None, None, :]
+    k_idx = m * hop + i - p                          # (M, hop, hop)
+    valid = (k_idx >= 0) & (k_idx < k)
+    w = jnp.take(filters.T, jnp.clip(k_idx, 0, k - 1), axis=0)  # (M, hop, hop, C)
+    w = jnp.where(valid[..., None], w, 0.0)
+    return w.reshape(m_taps, hop, hop * c)
+
+
+def sinc_conv_s2d(x: jnp.ndarray, filters: jnp.ndarray, hop: int = 16,
+                  precision=None) -> jnp.ndarray:
+    """Stride-1 VALID filterbank conv via space-to-depth phase decomposition:
+    (B, T) x (C, K) -> (B, T', C) channels-last.
+
+    The (B, T, 1) layout of sinc_conv_nhc feeds ONE input channel into the
+    128 vector lanes (measured ~21% MFU on v5e — the same pathology the
+    space-to-depth STFT fixed, ops/stft.py:stft_s2d). Here the waveform is
+    reshaped to (B, T/hop, hop) — hop samples AS CHANNELS — and each output
+    phase p in [0, hop) becomes its own bank of output channels:
+
+        y[b, j*hop + p, c] = sum_{m,i} xb[b, j+m, i] * f[c, m*hop + i - p]
+
+    i.e. one dense stride-1 conv with M=ceil((K+hop-1)/hop) taps, hop input
+    channels and hop*C output channels — identical math (zero-masked kernel
+    tail), ~(K+hop)/K FLOP waste (6% at K=251, hop=16), MXU-shaped contraction
+    (M*hop ~ 267) and output (hop*C = 2048).
+
+    Measured on v5e: 3.4x SLOWER than sinc_conv_nhc (21.6 vs 6.4 ms at b64,
+    hop 8/16/32 all within 6%) — XLA's strided lowering of the (B, T, 1)
+    direct form already sustains ~21% MFU on this K=251 conv, and the fat
+    2048-column kernel loses more to HBM weight re-reads than the lane
+    utilisation gains. Kept as an opt-in (`SincConv.impl='s2d'`) documented
+    negative result; the STFT's identical transform (ops/stft.py:stft_s2d)
+    WINS because its dense-window conv has only 3 taps to re-read."""
+    b, t = x.shape
+    c, k = filters.shape
+    t_out = t - k + 1
+    m_taps = -(-(k + hop - 1) // hop)
+    j_out = -(-t_out // hop)
+    j_in = j_out + m_taps - 1                        # j_in*hop >= t always
+    xp = jnp.pad(x, [(0, 0), (0, j_in * hop - t)])
+    xb = xp.reshape(b, j_in, hop)
+    w = s2d_phase_kernel(filters, hop)               # (M, hop, hop*C)
+    out = jax.lax.conv_general_dilated(
+        xb, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision, preferred_element_type=jnp.float32,
+    )                                                # (B, j_out, hop*C)
+    return out.reshape(b, j_out * hop, c)[:, :t_out, :]
+
+
 def sinc_conv(x: jnp.ndarray, filters: jnp.ndarray, stride: int = 1,
               padding: str | int = 0) -> jnp.ndarray:
     """Apply the filterbank: (B, T) -> (B, C, T'). Uses XLA conv (MXU)."""

@@ -174,12 +174,21 @@ def build_needs_w2v2(name: str) -> bool:
 
 def main():
     models = sys.argv[1:] or ["maze5", "main", "maze7"]
-    for name in models:
-        if name == "episodic":
+    for token in models:
+        if token == "episodic":
             print(json.dumps(bench_episodic()))
             continue
-        ev, tr, emfu, tmfu = bench_model(name)
-        print(json.dumps({"model": name, "eval_utt_s_chip": round(ev, 1),
+        # optional per-model batch override: name@batch_eval[:batch_train]
+        name, be, bt = token, 64, 16
+        if "@" in token:
+            name, spec = token.split("@", 1)
+            parts = spec.split(":")
+            be = int(parts[0])
+            if len(parts) > 1:
+                bt = int(parts[1])
+        ev, tr, emfu, tmfu = bench_model(name, batch_eval=be, batch_train=bt)
+        print(json.dumps({"model": name, "batch_eval": be, "batch_train": bt,
+                          "eval_utt_s_chip": round(ev, 1),
                           "train_utt_s_chip": round(tr, 1),
                           "eval_mfu_pct": emfu, "train_mfu_pct": tmfu,
                           "note": ("full arch, random-init w2v2 backbone" if

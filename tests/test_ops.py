@@ -220,6 +220,25 @@ def test_sinc_conv_block_gemm_matches_direct():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_sinc_conv_s2d_matches_nhc():
+    """Space-to-depth phase-decomposed sinc conv (ops/sinc.py:sinc_conv_s2d)
+    must equal the channels-last direct conv, including lengths not divisible
+    by the hop, and stay differentiable w.r.t. the filters."""
+    from adfmsl.ops.sinc import sinc_conv_nhc, sinc_conv_s2d
+
+    low, band = sinc_init(32)
+    f = sinc_filters(jnp.asarray(low), jnp.asarray(band), 251, formula="textbook")
+    for t, hop in ((3000, 16), (3000, 8), (777, 16), (2881, 32)):
+        x = jnp.asarray(RNG.standard_normal((2, t)).astype(np.float32))
+        a = np.asarray(sinc_conv_nhc(x, f))
+        b = np.asarray(sinc_conv_s2d(x, f, hop=hop))
+        assert a.shape == b.shape == (2, t - 250, 32)
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    x2 = jnp.asarray(RNG.standard_normal((1, 777)).astype(np.float32))
+    g = jax.grad(lambda f: jnp.sum(sinc_conv_s2d(x2, f) ** 2))(f)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_lfcc_leading_batch_dims():
     """lfcc/power_spectrogram accept (..., T) per their contract — the default
     conv impl used to crash on >2-D inputs (hard-coded 2-D padding)."""
