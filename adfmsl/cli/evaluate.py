@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--no_drift", action="store_true")
     p.add_argument("--no_fused_frontend", action="store_true",
                    help="disable the Pallas fused sinc front end (rawnet models)")
+    p.add_argument("--no_fused_trunk", action="store_true",
+                   help="disable the Pallas fused eval SE-ResBlock trunk")
     p.add_argument("--smoke_test", action="store_true",
                    help="synthetic forward-pass check before evaluation")
     p.add_argument("--data_parallel", type=int, default=0,
@@ -86,17 +88,24 @@ def main(argv=None) -> int:
     if args.cut:
         exp.data.cut = args.cut
     from adfmsl.models.mazes import SPECS
-    if SPECS.get(args.model_type) and SPECS[args.model_type].frontend == "rawnet":
-        # Eval-only Pallas fused sinc+|.|+pool3 front end (2x the XLA composition
-        # on v5e; interpret-mode on non-TPU backends). Training is unaffected.
-        # Reference-parity checkpoints (ported torch weights, experiment.yaml
-        # from adfmsl-convert-maze) promise f32 <=1e-3 logit parity — the bf16
-        # kernel would silently break that, so never force it on for them.
+    if SPECS.get(args.model_type):
+        # Eval-only Pallas kernels (interpret-mode on non-TPU backends):
+        # fused sinc+|.|+pool3 front end for rawnet models (2x the XLA
+        # composition on v5e) and the fused SE-ResBlock trunk for models with
+        # an SE-residual stack. Training is unaffected. Reference-parity
+        # checkpoints (ported torch weights, experiment.yaml from
+        # adfmsl-convert-maze) promise f32 <=1e-3 logit parity — the bf16
+        # kernels would silently break that, so never force them on for them.
         parity = (exp.model.architecture.block_semantics == "reference"
                   or exp.model.architecture.sinc_formula == "reference"
                   or exp.model.dtype == "float32")
-        exp.model.extra["fused_eval_frontend"] = (not args.no_fused_frontend
-                                                  and not parity)
+        if SPECS[args.model_type].frontend == "rawnet":
+            exp.model.extra["fused_eval_frontend"] = (
+                not args.no_fused_frontend and not parity)
+        if (SPECS[args.model_type].blocks
+                or SPECS[args.model_type].frontend == "rawnet"):
+            exp.model.extra["fused_eval_trunk"] = (
+                not args.no_fused_trunk and not parity)
     proto = parse_protocol(args.protocol, exp.data.label_polarity)
     if args.pack:
         from adfmsl.data import DataLoader, PackedDataset

@@ -22,17 +22,59 @@ import jax.numpy as jnp
 
 
 class SEBlock(nn.Module):
-    """Squeeze-excitation over the time axis; reduction 16 (maze4.py:149-163)."""
+    """Squeeze-excitation over the time axis; reduction 16 (maze4.py:149-163).
+
+    ``pooled`` supplies the (B, C) time-mean directly (the fused eval trunk
+    kernel accumulates it in-pass); with ``x=None`` the (B, C) gate itself is
+    returned so the caller can apply it. Parameter structure is identical
+    either way."""
 
     channels: int
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
-        s = jnp.mean(x, axis=1)                         # (B, C)
+    def __call__(self, x: Optional[jnp.ndarray],
+                 pooled: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        s = jnp.mean(x, axis=1) if pooled is None else pooled      # (B, C)
         s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1), name="fc1")(s))
         s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
+        if x is None:
+            return s
         return x * s[:, None, :]
+
+
+class _ConvParams(nn.Module):
+    """Parameter twin of ``nn.Conv(cout, (k,))``: creates/retrieves the exact
+    same {kernel, bias} variables (names, shapes, init distributions) without
+    running the convolution — the fused eval-trunk kernel consumes the raw
+    arrays. Checkpoints are interchangeable between the two paths."""
+
+    cin: int
+    cout: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.k, self.cin, self.cout))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.cout,))
+        return {"kernel": kernel, "bias": bias}
+
+
+class _BNParams(nn.Module):
+    """Parameter twin of ``nn.BatchNorm`` (scale/bias + batch_stats mean/var);
+    eval-mode running stats only — the fused path never updates them."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.c,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.c,)))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,)))
+        return ({"scale": scale, "bias": bias},
+                {"mean": mean.value, "var": var.value})
 
 
 def _adaptive_avg_resample(x: jnp.ndarray, lout: int) -> jnp.ndarray:
@@ -82,10 +124,18 @@ class ResBlockSE(nn.Module):
     # BEFORE the residual add, 1x1 skip on channel change only, same overlap
     # pool. Needed for forward parity with ported reference checkpoints.
     semantics: str = "tpu"
+    # Fused eval path ('tpu' semantics, bf16 trunks only): the whole block body
+    # runs as ONE Pallas kernel (ops/pallas/resblock_fused.py) with BN stats
+    # folded at trace time and the SE mean accumulated in-pass; parameter
+    # structure is identical to the plain path (checkpoint-compatible twins).
+    fused_eval: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (self.fused_eval and not train and self.semantics == "tpu"
+                and self.dtype == jnp.bfloat16):
+            return self._fused_eval_body(x)
         if self.semantics in ("fmsl_plain", "fmsl_se"):
             # maze3/6_fmsl_standardized.py:48-94 variant: bias-free convs,
             # conv-stride downsampling (torch pad=1), the pre-activation feeds
@@ -236,6 +286,48 @@ class ResBlockSE(nn.Module):
             out = SEBlock(self.out_channels, name="se")(out)
         return out
 
+    def _fused_eval_body(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval-mode 'tpu' block via the fused Pallas kernel. Variables are
+        declared through checkpoint-compatible twins (_ConvParams/_BNParams)
+        so plain-trained checkpoints run unchanged; the stride pool and SE
+        gate-multiply stay in XLA (both fuse into adjacent ops)."""
+        import jax as _jax
+
+        from adfmsl.ops.pallas import resblock_fused as _rf
+        from adfmsl.ops.pallas.resblock_fused import (fold_block_params,
+                                                      resblock_eval_fused)
+
+        if self.stride > 1:
+            x = nn.avg_pool(x, (2 * self.stride - 1,), strides=(self.stride,),
+                            padding=((self.stride - 1, self.stride - 1),))
+        params, stats = {}, {}
+        if not self.first:
+            params["bn1"], stats["bn1"] = _BNParams(self.in_channels,
+                                                    name="bn1")()
+        params["conv1"] = _ConvParams(self.in_channels, self.out_channels,
+                                      name="conv1")()
+        params["bn2"], stats["bn2"] = _BNParams(self.out_channels, name="bn2")()
+        params["conv2"] = _ConvParams(self.out_channels, self.out_channels,
+                                      name="conv2")()
+        if self.in_channels != self.out_channels:
+            params["downsample"] = _ConvParams(self.in_channels,
+                                               self.out_channels, k=1,
+                                               name="downsample")()
+        pre, w1, b1, w2, bt, skw = fold_block_params(params, stats,
+                                                     first=self.first)
+        if _rf.DEFAULT_IMPL == "xla":
+            y, sums = _rf.resblock_eval_xla(x, pre, w1, b1, w2, bt, skw)
+        else:
+            interpret = _jax.default_backend() != "tpu"
+            y, sums = resblock_eval_fused(x.astype(jnp.bfloat16), pre, w1, b1,
+                                          w2, bt, skw, rows=_rf.DEFAULT_ROWS,
+                                          interpret=interpret)
+        if self.use_se:
+            gate = SEBlock(self.out_channels, name="se")(
+                None, pooled=sums / x.shape[1])
+            y = y * gate[:, None, :].astype(y.dtype)
+        return y
+
 
 class ResStack(nn.Module):
     """A stack of ResBlockSE with per-block (in, out, stride)."""
@@ -244,6 +336,7 @@ class ResStack(nn.Module):
     dropout_rate: float = 0.3
     use_se: bool = True
     semantics: str = "tpu"
+    fused_eval: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,7 +344,7 @@ class ResStack(nn.Module):
         for i, (cin, cout, stride) in enumerate(self.specs):
             x = ResBlockSE(cin, cout, stride, self.dropout_rate, first=(i == 0),
                            use_se=self.use_se, semantics=self.semantics,
-                           dtype=self.dtype,
+                           fused_eval=self.fused_eval, dtype=self.dtype,
                            name=f"block{i}")(x, train=train)
         return x
 

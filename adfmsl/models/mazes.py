@@ -107,6 +107,8 @@ class MazeModel(nn.Module):
                                       "fused_eval_frontend", False),
                                   fused_train_frontend=cfg.extra.get(
                                       "fused_train_frontend", False),
+                                  fused_eval_trunk=cfg.extra.get(
+                                      "fused_eval_trunk", False),
                                   name="encoder")(x, train=train)
             pooled = feats
         else:
@@ -137,7 +139,16 @@ class MazeModel(nn.Module):
             if spec.proj_dim:
                 h = nn.Conv(spec.proj_dim, (1,), dtype=dtype, name="proj")(h)
             if spec.first_bn_act:
-                h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
+                # With the folded eval trunk active, keep the front-end glue in
+                # bf16 too: the f32 BN+SELU over (B, T, C) is otherwise a full
+                # HBM round trip at f32 width before the trunk casts down.
+                fused_tr = (cfg.extra.get("fused_eval_trunk", False)
+                            and not train and dtype == jnp.bfloat16)
+                if fused_tr:
+                    h = h.astype(jnp.bfloat16)
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=jnp.bfloat16 if fused_tr else None,
+                                 name="first_bn")(h)
                 h = nn.selu(h) if spec.first_bn_act == "selu" else nn.relu(h)
 
             if cfg.spec_augment.enabled and train:
@@ -158,6 +169,8 @@ class MazeModel(nn.Module):
                     semantics = spec.block_variant
                 h = ResStack(spec.blocks, cfg.architecture.dropout_rate,
                              semantics=semantics, use_se=spec.use_se,
+                             fused_eval=cfg.extra.get("fused_eval_trunk",
+                                                      False),
                              dtype=dtype, name="trunk")(h, train=train)
 
             if spec.transformer:

@@ -16,7 +16,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from adfmsl.models.blocks import GRU
+from adfmsl.models.blocks import GRU, _BNParams, _ConvParams
 from adfmsl.models.sincnet import SincConv
 
 
@@ -26,10 +26,38 @@ class _RawNetBlock(nn.Module):
     in_channels: int
     out_channels: int
     first: bool = False
+    # Folded eval body (ops/pallas/resblock_fused.py resblock_eval_xla with
+    # act='leaky', pool=3): BN stats folded to affines at trace time, bf16
+    # operands, the whole block one conv-fused XLA region. Checkpoint-
+    # compatible parameter twins, eval only.
+    fused_eval: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):          # (B, T, C)
+        if self.fused_eval and not train:
+            from adfmsl.ops.pallas.resblock_fused import (fold_block_params,
+                                                          resblock_eval_xla)
+
+            params, stats = {}, {}
+            if not self.first:
+                params["bn1"], stats["bn1"] = _BNParams(self.in_channels,
+                                                        name="bn1")()
+            params["conv1"] = _ConvParams(self.in_channels, self.out_channels,
+                                          name="conv1")()
+            params["bn2"], stats["bn2"] = _BNParams(self.out_channels,
+                                                    name="bn2")()
+            params["conv2"] = _ConvParams(self.out_channels, self.out_channels,
+                                          name="conv2")()
+            if self.in_channels != self.out_channels:
+                params["downsample"] = _ConvParams(self.in_channels,
+                                                   self.out_channels, k=1,
+                                                   name="downsample")()
+            pre, w1, b1, w2, bt, skw = fold_block_params(params, stats,
+                                                         first=self.first)
+            y, _ = resblock_eval_xla(x, pre, w1, b1, w2, bt, skw,
+                                     act="leaky", pool=3)
+            return y
         h = x
         if not self.first:
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
@@ -61,6 +89,7 @@ class RawNetEncoder(nn.Module):
     sinc_formula: str = "textbook"
     fused_eval_frontend: bool = False   # Pallas fused sinc+|.|+pool3 at eval (TPU)
     fused_train_frontend: bool = False  # same kernel in the train fwd (custom VJP)
+    fused_eval_trunk: bool = False      # folded bf16 eval blocks (resblock_fused)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,12 +109,18 @@ class RawNetEncoder(nn.Module):
         h = nn.selu(h)
 
         cin = self.sinc_channels
+        fused_blocks = self.fused_eval_trunk and not train
         for i, cout in enumerate(self.block_channels):
-            h = _RawNetBlock(cin, cout, first=(i == 0), dtype=self.dtype,
+            h = _RawNetBlock(cin, cout, first=(i == 0),
+                             fused_eval=self.fused_eval_trunk,
+                             dtype=self.dtype,
                              name=f"block{i}")(h, train=train)
-            # FC attention gate (main_fmsl_standardized.py:115-119)
-            y = jnp.mean(h, axis=1)                       # (B, C)
+            # FC attention gate (main_fmsl_standardized.py:115-119); mean in
+            # f32 — a bf16 accumulator over thousands of frames is too lossy
+            y = jnp.mean(h.astype(jnp.float32), axis=1)   # (B, C)
             y = nn.sigmoid(nn.Dense(cout, name=f"fc_attention{i}")(y))
+            if fused_blocks:            # keep the gated flow in bf16
+                y = y.astype(h.dtype)
             h = h * y[:, None, :] + y[:, None, :]
             cin = cout
 

@@ -48,11 +48,17 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
     from adfmsl.heads.losses import compute_loss
     from adfmsl.models import build_model
 
+    from adfmsl.models.mazes import SPECS
+
     exp = make_experiment(name)
     # w2v2 models run the FULL architecture at random init (throughput is
     # weight-independent; no local checkpoint needed)
     if name in ("main", "main_fmsl"):
         exp.model.extra["fused_eval_frontend"] = True
+    # production eval path: folded bf16 trunk (adfmsl-eval default)
+    if SPECS.get(name) and (SPECS[name].blocks
+                            or SPECS[name].frontend == "rawnet"):
+        exp.model.extra["fused_eval_trunk"] = True
     model = build_model(exp.model)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
