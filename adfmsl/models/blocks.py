@@ -35,7 +35,10 @@ class SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray],
                  pooled: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        s = jnp.mean(x, axis=1) if pooled is None else pooled      # (B, C)
+        # mean in f32: with a bf16 trunk the accumulation over thousands of
+        # frames is otherwise too lossy (same rule as the RawNet FC attention)
+        s = (jnp.mean(x.astype(jnp.float32), axis=1)
+             if pooled is None else pooled)                        # (B, C)
         s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1), name="fc1")(s))
         s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
         if x is None:
@@ -226,14 +229,18 @@ class ResBlockSE(nn.Module):
                                 strides=(self.stride,),
                                 padding=((self.stride - 1, self.stride - 1),))
             h = x
+            # BN emits the trunk dtype (batch stats still computed/stored in
+            # f32 inside flax): the following conv casts to bf16 anyway, so an
+            # f32 BN output only widens the BN->relu->dropout glue's HBM round
+            # trips in the TRAIN step (eval uses the folded kernel instead).
             if not self.first:
                 h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 name="bn1")(h)
+                                 dtype=self.dtype, name="bn1")(h)
                 h = nn.relu(h)
             h = nn.Conv(self.out_channels, (3,), padding="SAME",
                         dtype=self.dtype, name="conv1")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name="bn2")(h)
+                             dtype=self.dtype, name="bn2")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             h = nn.Conv(self.out_channels, (3,), padding="SAME",

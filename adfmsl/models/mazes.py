@@ -109,7 +109,7 @@ class MazeModel(nn.Module):
                                       "fused_train_frontend", False),
                                   fused_eval_trunk=cfg.extra.get(
                                       "fused_eval_trunk", False),
-                                  name="encoder")(x, train=train)
+                                  dtype=dtype, name="encoder")(x, train=train)
             pooled = feats
         else:
             if spec.frontend == "sinc":
@@ -139,16 +139,14 @@ class MazeModel(nn.Module):
             if spec.proj_dim:
                 h = nn.Conv(spec.proj_dim, (1,), dtype=dtype, name="proj")(h)
             if spec.first_bn_act:
-                # With the folded eval trunk active, keep the front-end glue in
-                # bf16 too: the f32 BN+SELU over (B, T, C) is otherwise a full
-                # HBM round trip at f32 width before the trunk casts down.
-                fused_tr = (cfg.extra.get("fused_eval_trunk", False)
-                            and not train and dtype == jnp.bfloat16)
-                if fused_tr:
+                # Keep the front-end glue at trunk width (train AND eval): the
+                # f32 BN+SELU over (B, T, C) is otherwise a full HBM round trip
+                # at double width before the trunk casts down — BN batch stats
+                # stay f32 inside flax; only the normalize output narrows.
+                if dtype == jnp.bfloat16:
                     h = h.astype(jnp.bfloat16)
                 h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=jnp.bfloat16 if fused_tr else None,
-                                 name="first_bn")(h)
+                                 dtype=dtype, name="first_bn")(h)
                 h = nn.selu(h) if spec.first_bn_act == "selu" else nn.relu(h)
 
             if cfg.spec_augment.enabled and train:

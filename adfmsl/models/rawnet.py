@@ -59,12 +59,17 @@ class _RawNetBlock(nn.Module):
                                      act="leaky", pool=3)
             return y
         h = x
+        # BN at trunk width (f32 batch stats inside flax) — the train-step
+        # glue otherwise pays f32 HBM round trips the convs immediately
+        # downcast (same rule as ResBlockSE 'tpu').
         if not self.first:
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn1")(h)
             h = nn.leaky_relu(h, 0.3)
         h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(h)
         h = nn.leaky_relu(h, 0.3)
         h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype,
                     name="conv2")(h)
@@ -105,11 +110,13 @@ class RawNetEncoder(nn.Module):
                      fused_eval=self.fused_eval_frontend,
                      fused_train=self.fused_train_frontend,
                      name="sinc")(x, train=train)                                    # (B, T3, C)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="first_bn")(h)
+        if self.dtype == jnp.bfloat16:
+            h = h.astype(jnp.bfloat16)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="first_bn")(h)
         h = nn.selu(h)
 
         cin = self.sinc_channels
-        fused_blocks = self.fused_eval_trunk and not train
         for i, cout in enumerate(self.block_channels):
             h = _RawNetBlock(cin, cout, first=(i == 0),
                              fused_eval=self.fused_eval_trunk,
@@ -119,8 +126,9 @@ class RawNetEncoder(nn.Module):
             # f32 — a bf16 accumulator over thousands of frames is too lossy
             y = jnp.mean(h.astype(jnp.float32), axis=1)   # (B, C)
             y = nn.sigmoid(nn.Dense(cout, name=f"fc_attention{i}")(y))
-            if fused_blocks:            # keep the gated flow in bf16
-                y = y.astype(h.dtype)
+            # keep the gated flow at trunk width (an f32 gate would promote
+            # the whole (B, T, C) product back to double width)
+            y = y.astype(h.dtype)
             h = h * y[:, None, :] + y[:, None, :]
             cin = cout
 
