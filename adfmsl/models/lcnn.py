@@ -51,18 +51,18 @@ class LCNN(nn.Module):
         h = mfm(conv(64, 5, name="conv1")(h))
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = mfm(conv(64, 1, name="nin1")(h))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype, name="bn1")(h)
         h = mfm(conv(96, 3, name="conv2")(h))
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype, name="bn2")(h)
         h = mfm(conv(96, 1, name="nin2")(h))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype, name="bn3")(h)
         h = mfm(conv(128, 3, name="conv3")(h))
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = mfm(conv(128, 1, name="nin3")(h))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn4")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype, name="bn4")(h)
         h = mfm(conv(64, 3, name="conv4")(h))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn5")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dtype, name="bn5")(h)
         h = mfm(conv(64, 3, name="conv5")(h))
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
 
@@ -109,7 +109,7 @@ class LCNN1D(nn.Module):
             h = mfm(nn.Conv(ch, (k,), padding="SAME", dtype=dtype,
                             name=f"{name}_conv")(h))
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                name=f"{name}_bn")(h)
+                                dtype=dtype, name=f"{name}_bn")(h)
 
         h = block(h, 128, 5, "b1")
         h = nn.max_pool(h, (2,), strides=(2,))

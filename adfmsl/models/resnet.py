@@ -25,15 +25,18 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
                     padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(h)
         if self.stride != 1 or x.shape[-1] != self.channels:
             x = nn.Conv(self.channels, (1, 1), strides=(self.stride, self.stride),
                         use_bias=False, dtype=self.dtype, name="proj")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="proj_bn")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="proj_bn")(x)
         return nn.relu(h + x)
 
 
@@ -57,7 +60,8 @@ class ResNet18(nn.Module):
 
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=dtype, name="stem")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="stem_bn")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=dtype, name="stem_bn")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
 
