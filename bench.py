@@ -177,6 +177,35 @@ def sinc_frontend_speedup():
     return dt_xla / dt_fused
 
 
+def maze5_eval_rate():
+    """Reference-capability model under the production eval path (folded bf16
+    trunk + channels-last sinc conv), batch 192 — the maze-zoo headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from adfmsl.config import make_experiment
+    from adfmsl.models import build_model
+
+    exp = make_experiment("maze5")
+    exp.model.extra["fused_eval_trunk"] = True
+    model = build_model(exp.model)
+    batch, iters = 192, 32
+    x = jnp.asarray(np.random.default_rng(3)
+                    .standard_normal((batch, CUT)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def fwd_many(v, x, n):
+        def body(carry, _):
+            out = model.apply(v, x + carry * 1e-30, train=False)["scores"]
+            return out[0].astype(jnp.float32), out.sum()
+        carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry + sums.sum()
+
+    dt = _time_one_sync(lambda: fwd_many(variables, x, iters))
+    return batch * iters / dt
+
+
 def cpu_reference_rate() -> float:
     import scipy.fft
     import torch
@@ -261,6 +290,7 @@ def main():
     eval_rate, mfu = tpu_eval_rate()       # headline: fail loudly if this breaks
     train_rate = _try(tpu_train_rate)
     fused_speedup = _try(sinc_frontend_speedup)
+    maze5_rate = _try(maze5_eval_rate)
     cpu = _try(cpu_reference_rate)
     print(json.dumps({
         "metric": "utterances/sec/chip (fused LFCC+LCNN1D eval, 4s clips)",
@@ -273,6 +303,8 @@ def main():
         "mfu_pct_est": round(mfu, 2) if mfu is not None else None,
         "sinc_fused_frontend_speedup": (round(fused_speedup, 2)
                                         if fused_speedup is not None else None),
+        "maze5_eval_utt_s_chip": (round(maze5_rate, 1)
+                                  if maze5_rate is not None else None),
     }))
 
 

@@ -74,6 +74,40 @@ def test_tpu_block_identity_skip_is_bn_free():
     np.testing.assert_allclose(np.asarray(out_train), np.asarray(x), atol=1e-6)
 
 
+def test_tpu_block_bf16_bn_keeps_f32_stats():
+    """The trunk-width BN contract (round 3): with a bf16 trunk, BatchNorm
+    emits bf16 activations but its batch statistics must stay float32 — both
+    the stored running stats and the per-batch update (flax computes stats in
+    f32 regardless of the normalize dtype). The update itself must match the
+    f32-dtype module's bit-for-bit: stats see the same f32 input either way."""
+    from adfmsl.models.blocks import ResBlockSE
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (4, 64, 16)).astype(np.float32))
+    outs, stats = {}, {}
+    for tag, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        blk = ResBlockSE(16, 16, stride=1, dropout_rate=0.0, first=False,
+                         use_se=True, semantics="tpu", dtype=dt)
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        out, mut = blk.apply(variables, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        outs[tag] = np.asarray(out, dtype=np.float32)
+        stats[tag] = mut["batch_stats"]
+
+    for leaf in jax.tree_util.tree_leaves(stats["bf16"]):
+        assert leaf.dtype == jnp.float32, f"running stat leaked to {leaf.dtype}"
+    # bn1 normalizes the raw f32 input in both modules -> identical stats
+    np.testing.assert_array_equal(
+        np.asarray(stats["f32"]["bn1"]["mean"]),
+        np.asarray(stats["bf16"]["bn1"]["mean"]))
+    # downstream stats see bf16-rounded convs; agreement within bf16 epsilon
+    np.testing.assert_allclose(
+        np.asarray(stats["f32"]["bn2"]["mean"]),
+        np.asarray(stats["bf16"]["bn2"]["mean"]), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(outs["f32"], outs["bf16"], rtol=5e-2, atol=5e-2)
+
+
 def test_tpu_block_strided_skip_survives_bn_saturation():
     """Regression (round 3), the strided-block variant of the same defect: the
     downsample conv must read RAW x, not relu(bn1(x)). With bn1's running mean
