@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--model_path", default=None,
                    help="supervised/meta checkpoint dir to warm-start the "
                         "embedder (params + BN stats) from")
+    p.add_argument("--no_fused_trunk", action="store_true",
+                   help="disable the folded bf16 eval trunk in the eval-mode "
+                        "embed paths (adaptation + scoring; measured +28%% on "
+                        "the episodic step, loss parity ~1e-4)")
     p.add_argument("--output", default="fewshot_scores.txt")
     return p
 
@@ -53,6 +57,15 @@ def main(argv=None) -> int:
     exp = make_experiment(args.model)
     if args.cut:
         exp.data.cut = args.cut
+    # Folded bf16 eval trunk for the eval-mode embeds (K-shot adaptation +
+    # protocol scoring; meta-training embeds run train-mode and are
+    # unaffected). Same reference-parity guard as adfmsl-eval: ported-f32
+    # checkpoints promise <=1e-3 logit parity the bf16 kernels would break.
+    parity = (exp.model.architecture.block_semantics == "reference"
+              or exp.model.architecture.sinc_formula == "reference"
+              or exp.model.dtype == "float32")
+    exp.model.extra["fused_eval_trunk"] = (not args.no_fused_trunk
+                                           and not parity)
     fcfg = FewshotConfig(args.n_way, args.k_shot, args.q_queries,
                          args.episodes_per_batch, args.n_steps, lr=args.lr)
 

@@ -229,3 +229,51 @@ def test_episode_sampler_shapes(fixture_dir):
     assert b.support.shape == (3, 2, 1, 100)
     assert b.query.shape == (3, 2, 1, 100)
     assert len(b.class_names) == 3
+
+
+def test_episodic_step_fused_trunk_parity():
+    """The folded bf16 eval trunk is differentiable (pure XLA affine/conv
+    composition), so the episodic train step may embed through it
+    (adfmsl-fewshot default for eval-mode embeds). Loss and gradient direction
+    must match the plain bf16 trunk within bf16 tolerance, and the sinc/conv
+    params must actually receive gradient."""
+    from adfmsl.config import make_experiment
+    from adfmsl.models import build_model
+
+    cut = 4000
+    rng = np.random.default_rng(11)
+    sup = jnp.asarray(rng.standard_normal((2, 2, 2, cut)).astype(np.float32))
+    qry = jnp.asarray(rng.standard_normal((2, 2, 2, cut)).astype(np.float32))
+
+    results = {}
+    for fused in (False, True):
+        exp = make_experiment("maze5")
+        exp.data.cut = cut
+        exp.model.extra["fused_eval_trunk"] = fused
+        model = build_model(exp.model)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((2, cut)), train=False)
+        bstats = variables.get("batch_stats")
+
+        def embed(p, x, _bstats=bstats, _model=model):
+            v = {"params": p}
+            if _bstats is not None:
+                v["batch_stats"] = _bstats
+            return _model.apply(v, x, train=False)["features"]
+
+        tx = optax.adam(1e-3)
+        step = make_episodic_train_step(embed, tx)
+        p2, _, _, m = step(variables["params"], tx.init(variables["params"]),
+                           sup, qry)
+        delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()), p2, variables["params"])
+        results[fused] = (float(m["loss"]), delta)
+
+    loss_plain, delta_plain = results[False]
+    loss_fused, delta_fused = results[True]
+    assert np.isfinite(loss_fused)
+    np.testing.assert_allclose(loss_fused, loss_plain, rtol=2e-2, atol=2e-2)
+    # the trunk conv params must receive gradient through the folded body
+    trunk_moved = sum(v for k, v in jax.tree_util.tree_leaves_with_path(
+        delta_fused) if "trunk" in str(k))
+    assert trunk_moved > 0.0, "no gradient reached the folded trunk params"
