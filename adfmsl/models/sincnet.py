@@ -30,13 +30,16 @@ class SincConv(nn.Module):
                                # the STFT, the K=251 stride-1 conv already keeps
                                # the MXU busy; kept as an opt-in negative result
     # 'abs_pool3' fuses the RawNet front end epilogue (|.| + MaxPool3). With
-    # fused_eval=True the whole front end runs as the Pallas kernel at eval time
-    # (2x the XLA composition on v5e; TPU only). fused_train=True additionally
-    # runs the kernel in the TRAINING forward pass via its custom VJP
+    # fused_eval=True the front end runs as the Pallas kernel at eval time for
+    # batches <= fused_max_batch; larger batches take the NHC XLA composition,
+    # which overtakes the kernel from b32 up (ops/sinc.py:sinc_abs_pool3_nhc
+    # has the measured crossover table). fused_train=True additionally runs
+    # the kernel in the TRAINING forward pass via its custom VJP
     # (Pallas forward, XLA-recompute backward — ops/pallas/sinc_fused.py).
     post: str = "none"
     fused_eval: bool = False
     fused_train: bool = False
+    fused_max_batch: int = 16
     # 'highest' pins exact-f32 conv passes (reference-parity checkpoints on
     # TPU, where DEFAULT means 1-pass bf16); None = backend default.
     precision: str | None = None
@@ -50,7 +53,8 @@ class SincConv(nn.Module):
         filt = sinc_filters(low, band, self.kernel_size, self.sample_rate,
                             self.min_low_hz, self.min_band_hz, self.formula)
         fused = self.fused_train if train else self.fused_eval
-        if self.post == "abs_pool3" and fused and self.stride == 1:
+        if (self.post == "abs_pool3" and fused and self.stride == 1
+                and x.shape[0] <= self.fused_max_batch):
             import jax
 
             from adfmsl.ops.pallas.sinc_fused import sinc_abs_pool
@@ -59,6 +63,14 @@ class SincConv(nn.Module):
             # virtual meshes) run the same kernel in interpret mode.
             interpret = jax.default_backend() != "tpu"
             return sinc_abs_pool(x, filt, interpret)     # (B, T3, C)
+        if self.post == "abs_pool3" and self.stride == 1:
+            import jax
+
+            from adfmsl.ops.sinc import sinc_abs_pool3_nhc
+
+            prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
+                    else None)
+            return sinc_abs_pool3_nhc(x, filt, precision=prec)  # (B, T3, C)
         if self.impl in ("nhc", "s2d") and self.stride == 1:
             import jax
 

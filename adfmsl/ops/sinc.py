@@ -218,6 +218,24 @@ def sinc_conv_s2d(x: jnp.ndarray, filters: jnp.ndarray, hop: int = 16,
     return out.reshape(b, j_out * hop, c)[:, :t_out, :]
 
 
+def sinc_abs_pool3_nhc(x: jnp.ndarray, filters: jnp.ndarray,
+                       precision=None) -> jnp.ndarray:
+    """The RawNet front end as an NHC XLA composition:
+    max_pool(|sinc_conv_nhc(x)|, 3) -> (B, T3, C). The pool is a reshape+max
+    (T3 is static) rather than reduce_window.
+
+    Round-3 measurement (v5e, 64600 samples, K=251, C=128) vs the Pallas
+    sinc_fused kernel: the KERNEL wins at small batch (b8 4.4 vs 6.1 ms,
+    b16 6.1 vs 6.9), this composition wins from b32 up (b32 7.8 vs 10.3,
+    b64 11.5 vs 18.9, b192 29.5 vs 52.3) — the kernel's weight-resident VMEM
+    tiling stops paying once the batch amortises XLA's conv setup. Parity with
+    the kernel path ~2e-7. SincConv dispatches on the static batch size."""
+    y = jnp.abs(sinc_conv_nhc(x, filters, precision=precision))  # (B, T', C)
+    b, t_out, c = y.shape
+    t3 = t_out // 3
+    return jnp.max(y[:, : t3 * 3, :].reshape(b, t3, 3, c), axis=2)
+
+
 def sinc_conv(x: jnp.ndarray, filters: jnp.ndarray, stride: int = 1,
               padding: str | int = 0) -> jnp.ndarray:
     """Apply the filterbank: (B, T) -> (B, C, T'). Uses XLA conv (MXU)."""

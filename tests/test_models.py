@@ -235,6 +235,17 @@ def test_rawnet_fused_eval_frontend_through_model():
     np.testing.assert_array_equal(np.asarray(out_t1["logits"]),
                                   np.asarray(out_t2["logits"]))
 
+    # above fused_max_batch the dispatch must fall to the NHC XLA composition
+    # (the kernel loses there, ops/sinc.py:sinc_abs_pool3_nhc) — outputs then
+    # match the non-fused module path EXACTLY, not just within kernel tolerance
+    xb = jnp.tile(X, (10, 1))                       # B=20 > fused_max_batch=16
+    got_big = sc.apply({"params": sp}, xb, train=False)
+    plain = SincConv(arch.filts[0], arch.first_conv, arch.sample_rate,
+                     formula=arch.sinc_formula, post="abs_pool3",
+                     fused_eval=False)
+    want_big = plain.apply({"params": sp}, xb, train=False)
+    np.testing.assert_array_equal(np.asarray(got_big), np.asarray(want_big))
+
 
 @pytest.mark.slow
 def test_rawnet_fused_train_frontend_gradients():
