@@ -489,20 +489,98 @@ class ConvFMSLLayer(nn.Module):
         return x + out
 
 
+class _GateParams(nn.Module):
+    """Parameter twin of one ``nn.GRUCell`` gate Dense (same names, shapes and
+    init distributions) — the hoisted scan consumes the raw arrays, so ported
+    torch checkpoints (port.py:gru) load unchanged."""
+
+    fin: int
+    fout: int
+    use_bias: bool = True
+    recurrent: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.orthogonal() if self.recurrent
+                else nn.initializers.lecun_normal())
+        out = {"kernel": self.param("kernel", init, (self.fin, self.fout))}
+        if self.use_bias:
+            out["bias"] = self.param("bias", nn.initializers.zeros_init(),
+                                     (self.fout,))
+        return out
+
+
+class _GRUCellParams(nn.Module):
+    """Parameter twin of ``nn.GRUCell`` (gates ir/iz/in over the input,
+    hr/hz/hn over the carry; only hn carries a recurrent bias)."""
+
+    hidden: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        p = {}
+        for g in ("ir", "iz", "in"):
+            p[g] = _GateParams(self.in_features, self.hidden, name=g)()
+        p["hr"] = _GateParams(self.hidden, self.hidden, use_bias=False,
+                              recurrent=True, name="hr")()
+        p["hz"] = _GateParams(self.hidden, self.hidden, use_bias=False,
+                              recurrent=True, name="hz")()
+        p["hn"] = _GateParams(self.hidden, self.hidden, recurrent=True,
+                              name="hn")()
+        return p
+
+
 class GRU(nn.Module):
-    """Unidirectional (optionally stacked) GRU over (B, T, C) via lax.scan
+    """Unidirectional (optionally stacked) GRU over (B, T, C)
     (RawNet2 trunk; the reference relies on cuDNN nn.GRU —
     main_fmsl_standardized.py:150-153; the original RawNet2 yaml stacks
-    nb_gru_layer=3, model_config_RawNet.yaml)."""
+    nb_gru_layer=3, model_config_RawNet.yaml).
+
+    TPU-native formulation (round 4): the three input projections for ALL
+    timesteps run as ONE pre-scan GEMM ((B, T, C) @ (C, 3H)) — the round-3
+    ``nn.RNN(GRUCell)`` form re-launched them inside the sequential scan body,
+    where the MXU cannot batch them. Only the irreducible recurrent
+    (B, H) @ (H, 3H) matmul stays in the body. Gate math is exactly flax
+    ``nn.GRUCell`` (= torch nn.GRU with merged r/z input+recurrent biases);
+    parameter tree is byte-compatible with the round-3 form (``cell{k}/...``,
+    the ``rnn`` wrapper never held params).
+
+    ``return_sequences=False`` returns only the final hidden state (B, H) and
+    skips stacking the (B, T, H) output — RawNet consumes only ``h[:, -1]``.
+    """
 
     hidden: int
     layers: int = 1
+    return_sequences: bool = True
 
     @nn.compact
     def __call__(self, x):
         h = x
+        hdim = self.hidden
         for k in range(self.layers):
-            cell = nn.GRUCell(features=self.hidden,
-                              name="cell" if k == 0 else f"cell{k}")
-            h = nn.RNN(cell, name="rnn" if k == 0 else f"rnn{k}")(h)
-        return h                                         # (B, T, H)
+            last = k == self.layers - 1
+            p = _GRUCellParams(hdim, h.shape[-1],
+                               name="cell" if k == 0 else f"cell{k}")()
+            wi = jnp.concatenate([p["ir"]["kernel"], p["iz"]["kernel"],
+                                  p["in"]["kernel"]], axis=1)     # (C, 3H)
+            bi = jnp.concatenate([p["ir"]["bias"], p["iz"]["bias"],
+                                  p["in"]["bias"]])               # (3H,)
+            wh = jnp.concatenate([p["hr"]["kernel"], p["hz"]["kernel"],
+                                  p["hn"]["kernel"]], axis=1)     # (H, 3H)
+            bhn = p["hn"]["bias"]
+            xi = h @ wi + bi                                      # (B, T, 3H)
+            carry0 = jnp.zeros((h.shape[0], hdim), xi.dtype)
+            collect = self.return_sequences or not last
+
+            def step(c, xt, _wh=wh, _bhn=bhn, _collect=collect):
+                hh = c @ _wh                                      # (B, 3H)
+                r = nn.sigmoid(xt[:, :hdim] + hh[:, :hdim])
+                z = nn.sigmoid(xt[:, hdim:2 * hdim] + hh[:, hdim:2 * hdim])
+                n = jnp.tanh(xt[:, 2 * hdim:] + r * (hh[:, 2 * hdim:] + _bhn))
+                c = (1.0 - z) * n + z * c
+                return c, (c if _collect else None)
+
+            carry, ys = jax.lax.scan(step, carry0, jnp.swapaxes(xi, 0, 1))
+            h = jnp.swapaxes(ys, 0, 1) if collect else carry
+        return h        # (B, T, H), or (B, H) with return_sequences=False

@@ -35,7 +35,9 @@ class _RawNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):          # (B, T, C)
-        if self.fused_eval and not train:
+        # bf16 trunks only (same guard as ResBlockSE): the folded body runs
+        # bf16 math, which would silently break f32 reference-parity configs.
+        if self.fused_eval and not train and self.dtype == jnp.bfloat16:
             from adfmsl.ops.pallas.resblock_fused import (fold_block_params,
                                                           resblock_eval_xla)
 
@@ -134,6 +136,7 @@ class RawNetEncoder(nn.Module):
 
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_before_gru")(h)
         h = nn.selu(h)
-        h = GRU(self.gru_hidden, layers=self.gru_layers, name="gru")(h)  # (B, T, H)
-        h = h[:, -1, :]
+        # only the final hidden state is consumed — skip stacking (B, T, H)
+        h = GRU(self.gru_hidden, layers=self.gru_layers,
+                return_sequences=False, name="gru")(h)   # (B, H)
         return nn.Dense(self.feature_dim, name="fc1_gru")(h)

@@ -63,7 +63,10 @@ class SincConv(nn.Module):
             # virtual meshes) run the same kernel in interpret mode.
             interpret = jax.default_backend() != "tpu"
             return sinc_abs_pool(x, filt, interpret)     # (B, T3, C)
-        if self.post == "abs_pool3" and self.stride == 1:
+        if self.post == "abs_pool3" and self.stride == 1 and self.impl == "nhc":
+            # impl selections other than the default 'nhc' fall through to the
+            # generic conv + |.| + maxpool epilogue below so 'block_gemm'/'s2d'
+            # stay honoured for the RawNet front end (advisor round-3).
             import jax
 
             from adfmsl.ops.sinc import sinc_abs_pool3_nhc

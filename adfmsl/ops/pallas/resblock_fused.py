@@ -249,12 +249,17 @@ def resblock_eval_xla(x, pre, w1, b1, w2, bt, skw, act="relu", pool=1):
     affine/act epilogues fuse into the conv fusions.
     Returns (y bf16, channel_sums f32)."""
     f = ((lambda v: jnp.maximum(v, 0.0)) if act == "relu"
-         else (lambda v: jnp.maximum(v, jnp.bfloat16(0.3) * v)))
+         else (lambda v: jnp.maximum(v, jnp.asarray(0.3, v.dtype) * v)))
     xb = x.astype(jnp.bfloat16)
     h = xb
     if pre is not None:
-        h = f(xb * pre[0].astype(jnp.bfloat16)[None, None, :]
-              + pre[1].astype(jnp.bfloat16)[None, None, :])
+        # apply the folded bn1 affine with f32 coefficients on an f32 upcast,
+        # then narrow (advisor round-3): matches the plain path's f32 BN
+        # normalisation before the conv's bf16 downcast. Elementwise chain —
+        # XLA fuses upcast*affine*act*downcast into conv1's input, so no f32
+        # (B, T, C) materialisation.
+        h = f(xb.astype(jnp.float32) * pre[0][None, None, :]
+              + pre[1][None, None, :]).astype(jnp.bfloat16)
     dn = jax.lax.conv_dimension_numbers(h.shape, (3,) + w1.shape[1:],
                                         ("NWC", "WIO", "NWC"))
     y1 = jax.lax.conv_general_dilated(

@@ -49,6 +49,19 @@ def _time_one_sync(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
+def _time_windows(fn, *args, repeats: int = 3) -> list[float]:
+    """Warm once, then time ``repeats`` independent scan windows. The tunneled
+    backend's throughput wanders ±10% run-to-run (CLAUDE.md), so headline
+    numbers are quoted as median with a [min, max] range (round-3 verdict)."""
+    float(fn(*args))
+    out = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        out.append(time.perf_counter() - t0)
+    return out
+
+
 def tpu_eval_rate():
     import jax
     import jax.numpy as jnp
@@ -72,8 +85,11 @@ def tpu_eval_rate():
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry + sums.sum()
 
-    dt = _time_one_sync(lambda: fwd_many(variables, x, N_ITERS))
+    dts = _time_windows(lambda: fwd_many(variables, x, N_ITERS))
+    dt = sorted(dts)[len(dts) // 2]                      # median window
     rate = BATCH * N_ITERS / dt
+    rate_range = [round(BATCH * N_ITERS / max(dts), 2),
+                  round(BATCH * N_ITERS / min(dts), 2)]
 
     mfu = None
     try:
@@ -88,7 +104,7 @@ def tpu_eval_rate():
             mfu = 100.0 * flops * N_ITERS / dt / PEAK_BF16_FLOPS
     except Exception:
         pass
-    return rate, mfu
+    return rate, mfu, rate_range
 
 
 def tpu_train_rate():
@@ -287,7 +303,7 @@ def _try(fn, default=None):
 
 
 def main():
-    eval_rate, mfu = tpu_eval_rate()       # headline: fail loudly if this breaks
+    eval_rate, mfu, rate_range = tpu_eval_rate()   # headline: fail loudly if this breaks
     train_rate = _try(tpu_train_rate)
     fused_speedup = _try(sinc_frontend_speedup)
     maze5_rate = _try(maze5_eval_rate)
@@ -295,6 +311,7 @@ def main():
     print(json.dumps({
         "metric": "utterances/sec/chip (fused LFCC+LCNN1D eval, 4s clips)",
         "value": round(eval_rate, 2),
+        "value_range": rate_range,          # [min, max] over 3 scan windows
         "unit": "utt/s/chip",
         "vs_baseline": round(eval_rate / cpu, 2) if cpu else None,
         "train_utt_s_chip": round(train_rate, 2) if train_rate else None,

@@ -176,7 +176,8 @@ def test_fused_trunk_rawnet_parity():
     fused = fused_model.apply(v, x, train=False)
     a = np.asarray(plain["scores"], np.float32)
     b = np.asarray(fused["scores"], np.float32)
-    # plain rawnet trunk is f32; the folded path is bf16 — coarser tolerance
-    np.testing.assert_allclose(a, b, rtol=0, atol=0.1 * max(1.0, np.abs(a).max()))
+    # both trunks run bf16 (main's default dtype); the folded path only
+    # re-associates the BN affines, so the bf16-grade tolerance applies
+    np.testing.assert_allclose(a, b, rtol=0, atol=3e-2 * max(1.0, np.abs(a).max()))
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
         fused_model.init({"params": jax.random.PRNGKey(0)}, x, train=False))
