@@ -199,6 +199,10 @@ class FrontendConfig:
     # (default) 3-pass bf16 at ~2e-4 relative — inside every golden-test
     # tolerance and ~1.4x faster on v5e, 'default' trunk-grade bf16.
     dsp_precision: str = "high"
+    # Fuse the |STFT|^2 square into the filterbank GEMM operand (ops/lfcc.py):
+    # the (B, frames, bins) power spectrum never round-trips HBM. Same math to
+    # f32 summation order.
+    fused_power: bool = False
 
 
 @dataclass

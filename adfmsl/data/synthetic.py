@@ -32,6 +32,13 @@ class SyntheticSpec:
     sample_rate: int = 16000
     duration: float = 1.0       # keep fixtures small; pad() tiles to 64600 anyway
     seed: int = 0
+    # 1.0 = fully separable classes (default, unchanged RNG stream). Below 1.0
+    # both classes share the same tones+noise process and differ only by a
+    # class_sep-deep spectral notch on the spoof's noise bed (_hard_pair), so
+    # trained models land at a *nonzero* EER — used by the FMSL-vs-baseline
+    # quality-claim test (the thesis's central claim needs a fixture where EER
+    # deltas are visible, not a saturated 0.0).
+    class_sep: float = 1.0
 
 
 def _bonafide(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
@@ -52,6 +59,25 @@ def _spoof(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
     spec[freqs > 6000] *= 0.1
     x = np.fft.irfft(spec, n).astype(np.float32)
     return 0.3 * x / (np.abs(x).max() + 1e-9)
+
+
+def _hard_pair(rng: np.random.Generator, n: int, sr: int, bona: bool,
+               sep: float) -> np.ndarray:
+    """Hard-mode clip (``class_sep < 1``): BOTH classes are harmonic tones over
+    a broadband noise bed; the spoof fingerprint is only a ``sep``-deep
+    spectral notch applied to the NOISE component. At sep -> 0 the classes
+    coincide (EER -> 0.5); at sep = 1 the notch matches :func:`_spoof`'s.
+    Keeps trained EERs off the 0.0 floor so baseline-vs-FMSL deltas are
+    visible (tests/test_quality_claim.py)."""
+    tone = _bonafide(rng, n, sr)
+    bed = rng.standard_normal(n).astype(np.float32)
+    if not bona:
+        spec = np.fft.rfft(bed)
+        freqs = np.fft.rfftfreq(n, 1.0 / sr)
+        spec[(freqs > 1000) & (freqs < 3000)] *= 0.05 ** sep
+        spec[freqs > 6000] *= 0.1 ** sep
+        bed = np.fft.irfft(spec, n).astype(np.float32)
+    return (0.6 * tone + 0.25 * bed).astype(np.float32)
 
 
 def generate_fixture(root: str, spec: SyntheticSpec = SyntheticSpec()) -> dict:
@@ -75,7 +101,12 @@ def generate_fixture(root: str, spec: SyntheticSpec = SyntheticSpec()) -> dict:
             bona = i % 2 == 0
             # vary length so pad paths are exercised
             ln = n + int(rng.integers(-n // 4, n // 4))
-            x = _bonafide(rng, ln, spec.sample_rate) if bona else _spoof(rng, ln, spec.sample_rate)
+            if spec.class_sep < 1.0:
+                x = _hard_pair(rng, ln, spec.sample_rate, bona, spec.class_sep)
+            else:
+                # default path: exact round-1 RNG stream and signals
+                x = (_bonafide(rng, ln, spec.sample_rate) if bona
+                     else _spoof(rng, ln, spec.sample_rate))
             write_wav(os.path.join(audio_dir, utt + ".wav"), x, spec.sample_rate)
             attack = "-" if bona else ATTACKS[i % len(ATTACKS)]
             label = "bonafide" if bona else "spoof"

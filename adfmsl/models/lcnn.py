@@ -34,7 +34,7 @@ class LCNN(nn.Module):
         fe = self.cfg.frontend
         feats = lfcc(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
                      fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps,
-                     precision=fe.dsp_precision)
+                     precision=fe.dsp_precision, fused_power=fe.fused_power)
         if fe.cmvn:
             feats = cmvn(feats)
         # the DSP front end is parameterless: its VJP can only feed d/d(audio),
@@ -95,7 +95,7 @@ class LCNN1D(nn.Module):
         fe = self.cfg.frontend
         feats = lfcc(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
                      fe.win_length, fe.n_filter, fe.n_lfcc, fe.log_eps,
-                     precision=fe.dsp_precision)
+                     precision=fe.dsp_precision, fused_power=fe.fused_power)
         if fe.cmvn:
             feats = cmvn(feats)
         # the DSP front end is parameterless: its VJP can only feed d/d(audio),

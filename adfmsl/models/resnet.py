@@ -48,7 +48,7 @@ class ResNet18(nn.Module):
         fe = self.cfg.frontend
         feats = logmel(x, self.cfg.architecture.sample_rate, fe.n_fft, fe.hop_length,
                        fe.win_length, fe.n_mels, fe.fmin, fe.fmax, fe.log_eps,
-                       precision=fe.dsp_precision)
+                       precision=fe.dsp_precision, fused_power=fe.fused_power)
         if fe.cmvn:
             feats = cmvn(feats)
         # the DSP front end is parameterless: its VJP can only feed d/d(audio),

@@ -94,7 +94,7 @@ def stft_conv(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
 
 def stft_s2d(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
              win_length: int = 400, center: bool = True,
-             precision: str = "high"):
+             precision: str = "high", raw: bool = False):
     """Power spectrogram via a SPACE-TO-DEPTH strided conv — the fastest v5e
     form (round-3 measurement: full LFCC 150k utt/s vs 106k for ``stft_conv``
     at the same 'high' tier).
@@ -130,6 +130,12 @@ def stft_s2d(x: jnp.ndarray, n_fft: int = 512, hop_length: int = 160,
         precision=resolve_precision(precision),
         preferred_element_type=jnp.float32,
     )[:, :n_frames]
+    if raw:
+        # pre-power conv output (..., frames, 2*n_bins) = [re | im]: callers
+        # that consume |STFT|^2 through a LINEAR map (filterbank) can fuse the
+        # square into that matmul's operand instead of materialising the
+        # (B, frames, n_bins) power spectrum in HBM (ops/lfcc.py fused_power)
+        return out.reshape(lead + out.shape[1:])
     n_bins = n_fft // 2 + 1
     re, im = out[..., :n_bins], out[..., n_bins:]
     p = re * re + im * im

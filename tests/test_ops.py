@@ -104,6 +104,22 @@ def test_lfcc_end_to_end_shape_and_finite():
     assert np.isfinite(out).all()
 
 
+def test_lfcc_fused_power_parity():
+    """fused_power folds |.|^2 into the filterbank GEMM via the stacked
+    [fb; fb] over the [re | im] channel layout — identical math up to f32
+    summation order (ops/lfcc.py, round-4)."""
+    import functools
+
+    x = RNG.standard_normal((2, 16000)).astype(np.float32)
+    a = np.asarray(lfcc(jnp.asarray(x), precision="highest"))
+    b = np.asarray(lfcc(jnp.asarray(x), precision="highest", fused_power=True))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+    ml = np.asarray(logmel(jnp.asarray(x), precision="highest"))
+    mf = np.asarray(logmel(jnp.asarray(x), precision="highest",
+                           fused_power=True))
+    np.testing.assert_allclose(mf, ml, rtol=1e-4, atol=1e-5)
+
+
 def test_logmel_golden():
     x = RNG.standard_normal(16000).astype(np.float32)
     p = _numpy_power_spec(x, 512, 160, 400)
