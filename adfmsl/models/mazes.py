@@ -85,6 +85,8 @@ class MazeModel(nn.Module):
         w = self.cfg.wav2vec2
         if w.model_name == "tiny":
             return W2V2Arch.tiny()
+        if w.model_name == "tiny4":            # 4-way head-shardable test arch
+            return W2V2Arch.tiny(num_heads=4)
         if w.output_dim >= 1024:
             return W2V2Arch.large_960h()
         return W2V2Arch.base()
@@ -152,11 +154,12 @@ class MazeModel(nn.Module):
             if cfg.spec_augment.enabled and train:
                 sa = cfg.spec_augment
                 key = self.make_rng("specaugment")
-                # features are (B, T, C): C is the freq/channel axis
-                ht = jnp.transpose(h, (0, 2, 1))
-                ht = spec_augment(ht, key, sa.freq_mask_param, sa.time_mask_param,
-                                  sa.n_freq_masks, sa.n_time_masks, sa.semantics)
-                h = jnp.transpose(ht, (0, 2, 1))
+                # features are (B, T, C): C is the freq/channel axis; the
+                # channels_last path draws bit-identical masks without the two
+                # full-tensor transposes (+ their backward twins)
+                h = spec_augment(h, key, sa.freq_mask_param, sa.time_mask_param,
+                                 sa.n_freq_masks, sa.n_time_masks, sa.semantics,
+                                 channels_last=True)
 
             if spec.conv_fmsl:
                 h = ConvFMSLLayer(h.shape[-1], name="conv_fmsl")(h, train=train)

@@ -50,9 +50,11 @@ class W2V2Arch:
                         intermediate_size=4096)
 
     @staticmethod
-    def tiny() -> "W2V2Arch":
-        """For tests: 2 conv layers, 2 transformer layers."""
-        return W2V2Arch(hidden_size=64, num_layers=2, num_heads=2,
+    def tiny(num_heads: int = 2) -> "W2V2Arch":
+        """For tests: 2 conv layers, 2 transformer layers. ``num_heads=4``
+        ('tiny4') keeps the same sizes but is 4-way head-shardable — used by
+        the driver's 2dp x 4tp dry-run phase (__graft_entry__)."""
+        return W2V2Arch(hidden_size=64, num_layers=2, num_heads=num_heads,
                         intermediate_size=128, conv_dim=(32, 32),
                         conv_kernel=(10, 3), conv_stride=(5, 2))
 

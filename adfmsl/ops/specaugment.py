@@ -46,10 +46,20 @@ def _mask_axis(key, x, axis_size: int, param: int, n_masks: int, semantics: str,
 
 def spec_augment(x: jnp.ndarray, key: jax.Array, freq_mask_param: int = 10,
                  time_mask_param: int = 10, n_freq_masks: int = 2,
-                 n_time_masks: int = 2, semantics: str = "torchaudio") -> jnp.ndarray:
-    """Mask (B, C, T): C treated as the frequency/channel axis, T as time."""
+                 n_time_masks: int = 2, semantics: str = "torchaudio",
+                 channels_last: bool = False) -> jnp.ndarray:
+    """Mask (B, C, T) — or (B, T, C) with ``channels_last=True``. C is the
+    frequency/channel axis, T is time. The mask draws depend only on the axis
+    SIZES, so both layouts produce bit-identical augmentation for the same key
+    — channels_last lets (B, T, C) trunks skip the two full-tensor transposes
+    (and their backward twins) that a layout round-trip would cost."""
     kf, kt = jax.random.split(key)
-    _, c, t = x.shape
+    if channels_last:
+        _, t, c = x.shape
+    else:
+        _, c, t = x.shape
     fmask = _mask_axis(kf, x, c, freq_mask_param, n_freq_masks, semantics, 1)
     tmask = _mask_axis(kt, x, t, time_mask_param, n_time_masks, semantics, 2)
+    if channels_last:
+        return x * fmask[:, None, :] * tmask[:, :, None]
     return x * fmask[:, :, None] * tmask[:, None, :]

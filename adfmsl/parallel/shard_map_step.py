@@ -36,14 +36,18 @@ def make_shard_map_train_step(exp: ExperimentConfig, mesh: Mesh):
     data_axis = mesh.axis_names[0]
 
     def local_grads(params, batch_stats, apply_fn, audio, labels, mask, rng):
+        from adfmsl.train.steps import fast_bits_key
+
         rngs = {
             "dropout": jax.random.fold_in(rng, 0),
             "specaugment": jax.random.fold_in(rng, 1),
             "lsa": jax.random.fold_in(rng, 2),
         }
-        # decorrelate per-shard stochastic ops
+        # decorrelate per-shard stochastic ops, then switch the per-element
+        # bit generation to the hardware generator (train/steps.py)
         shard_idx = jax.lax.axis_index(data_axis)
-        rngs = {k: jax.random.fold_in(v, shard_idx) for k, v in rngs.items()}
+        rngs = {k: fast_bits_key(jax.random.fold_in(v, shard_idx))
+                for k, v in rngs.items()}
 
         def loss_fn(p):
             variables = {"params": p}

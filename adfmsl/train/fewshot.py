@@ -33,10 +33,12 @@ log = logging.getLogger(__name__)
 
 def _step_rngs(rng):
     """Per-step PRNG streams for the trunk's stochastic train-mode ops (same
-    split as train/steps.py)."""
-    return {"dropout": jax.random.fold_in(rng, 0),
-            "specaugment": jax.random.fold_in(rng, 1),
-            "lsa": jax.random.fold_in(rng, 2)}
+    split + hardware bit generation as train/steps.py)."""
+    from adfmsl.train.steps import fast_bits_key
+
+    return {"dropout": fast_bits_key(jax.random.fold_in(rng, 0)),
+            "specaugment": fast_bits_key(jax.random.fold_in(rng, 1)),
+            "lsa": fast_bits_key(jax.random.fold_in(rng, 2))}
 
 
 @dataclasses.dataclass

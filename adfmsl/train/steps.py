@@ -31,6 +31,20 @@ def _zero_nonfinite(tree):
         lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), tree)
 
 
+def fast_bits_key(key):
+    """Re-wrap a threefry key as an 'rbg' key (same 128-bit key material).
+
+    Dropout draws one random word per activation element; with the default
+    threefry generator that ALU work dominated the maze5 train step (measured
+    14.2 ms of 53 ms at b16 — round-4 profile). 'rbg' lowers to the TPU's
+    hardware RngBitGenerator: step 52.6 -> 42.2 ms. Splits/fold_ins on rbg
+    keys still derive streams via threefry, so stream separation semantics are
+    unchanged; only the per-element bit generation differs."""
+    kd = jax.random.key_data(key)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
+
+
 def make_train_step(exp: ExperimentConfig, donate: bool = True,
                     noise_bank=None, rir_bank=None):
     lcfg = exp.train.loss
@@ -41,9 +55,12 @@ def make_train_step(exp: ExperimentConfig, donate: bool = True,
 
     def step(state: TrainState, audio, labels, mask, rng) -> Tuple[TrainState, Dict]:
         rngs = {
-            "dropout": jax.random.fold_in(rng, 0),
-            "specaugment": jax.random.fold_in(rng, 1),
-            "lsa": jax.random.fold_in(rng, 2),
+            # hardware bit generation for the per-element streams (see
+            # fast_bits_key); specaugment/lsa draw only tiny tensors but ride
+            # the same generator for uniformity
+            "dropout": fast_bits_key(jax.random.fold_in(rng, 0)),
+            "specaugment": fast_bits_key(jax.random.fold_in(rng, 1)),
+            "lsa": fast_bits_key(jax.random.fold_in(rng, 2)),
         }
         if augment:
             from adfmsl.data.augment import augment_waveform

@@ -124,6 +124,8 @@ def tpu_train_rate():
     labels = jnp.asarray(np.arange(BATCH) % 2, dtype=jnp.int32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     tx = optax.adam(1e-4)
+    from adfmsl.train.steps import fast_bits_key as _fast_key
+
     key = jax.random.PRNGKey(2)
 
     @functools.partial(jax.jit, static_argnums=1)
@@ -131,7 +133,8 @@ def tpu_train_rate():
         def loss_fn(p, bstats, xb):
             out, mut = model.apply(
                 {"params": p, "batch_stats": bstats}, xb, labels=labels,
-                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+                train=True, rngs={"dropout": _fast_key(key)},
+                mutable=["batch_stats"])
             loss = compute_loss("weighted_ce", out["logits"], labels,
                                 class_weights=[0.3, 0.7])
             return loss, mut["batch_stats"]

@@ -83,8 +83,11 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
     labels = jnp.asarray(np.arange(batch_train) % 2, dtype=jnp.int32)
     vt = model.init({"params": key}, xt, train=False)
     tx = optax.adam(1e-4)
-    rngs = {"dropout": key, "specaugment": jax.random.PRNGKey(1),
-            "lsa": jax.random.PRNGKey(2)}
+    from adfmsl.train.steps import fast_bits_key
+
+    rngs = {"dropout": fast_bits_key(key),
+            "specaugment": fast_bits_key(jax.random.PRNGKey(1)),
+            "lsa": fast_bits_key(jax.random.PRNGKey(2))}
 
     @functools.partial(jax.jit, static_argnums=1)
     def train_many(carry0, n):

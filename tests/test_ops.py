@@ -190,6 +190,20 @@ def test_spec_augment_zeroes_bands():
     assert not all((y[0] == y[i]).all() for i in range(1, 4))
 
 
+def test_spec_augment_channels_last_layout_parity():
+    """(B, T, C) channels_last path draws bit-identical masks to transposing
+    into (B, C, T) and back — the maze trunks use it to skip two full-tensor
+    transposes per train step (round-4)."""
+    key = jax.random.PRNGKey(5)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (3, 50, 8)).astype(np.float32))
+    for sem in ("torchaudio", "reference_handrolled"):
+        a = jnp.transpose(spec_augment(jnp.transpose(x, (0, 2, 1)), key,
+                                       semantics=sem), (0, 2, 1))
+        b = spec_augment(x, key, semantics=sem, channels_last=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_spec_augment_reference_semantics():
     key = jax.random.PRNGKey(1)
     x = jnp.ones((2, 64, 200))
