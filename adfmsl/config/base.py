@@ -63,6 +63,9 @@ class Wav2Vec2Config:
     # one transformer layer instead of all of them (w2v2-large fine-tuning at
     # larger batch on one chip); forward numerics unchanged
     remat_layers: bool = False
+    # jax.checkpoint the conv feature extractor too (its activation pyramid is
+    # the batch-64 OOM source on w2v2-large); one recompute per backward
+    remat_extractor: bool = False
 
 
 @dataclass

@@ -126,6 +126,7 @@ class MazeModel(nn.Module):
             elif spec.frontend == "w2v2":
                 enc = Wav2Vec2Encoder(arch=self._w2v2_arch(), dtype=dtype,
                                       remat_layers=cfg.wav2vec2.remat_layers,
+                                      remat_extractor=cfg.wav2vec2.remat_extractor,
                                       name="wav2vec2")
                 if spec.fusion_layers:
                     _, hs = enc(x, train=train, output_hidden_states=True)

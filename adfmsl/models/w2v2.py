@@ -149,6 +149,12 @@ class Wav2Vec2Encoder(nn.Module):
     # num_layers — the lever that fits w2v2-large fine-tuning at larger batch
     # on a single chip (param trees are unchanged; ports stay compatible).
     remat_layers: bool = False
+    # jax.checkpoint the whole conv feature extractor: its pyramid of
+    # (B, T_i, 512) activations (846 MB at layer0 for large/b64/4 s) is what
+    # OOMed batch 64 even with per-layer encoder remat (round-3 PERF ladder);
+    # saving only the raw waveform trades one extractor recompute for ~1.6 GB
+    # of saved residuals.
+    remat_extractor: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -160,7 +166,9 @@ class Wav2Vec2Encoder(nn.Module):
             var = jnp.var(x, axis=-1, keepdims=True)
             x = (x - mean) / jnp.sqrt(var + 1e-7)
 
-        h = _FeatureExtractor(a, dtype=self.dtype, name="feature_extractor")(x)
+        fe_cls = (nn.remat(_FeatureExtractor) if self.remat_extractor
+                  else _FeatureExtractor)
+        h = fe_cls(a, dtype=self.dtype, name="feature_extractor")(x)
         h = nn.LayerNorm(epsilon=a.layer_norm_eps, name="feature_projection_norm")(h)
         h = nn.Dense(a.hidden_size, dtype=self.dtype, name="feature_projection")(h)
 
