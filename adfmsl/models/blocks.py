@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from adfmsl.ops.dropout import RDropout
+
 
 class SEBlock(nn.Module):
     """Squeeze-excitation over the time axis; reduction 16 (maze4.py:149-163).
@@ -242,7 +244,12 @@ class ResBlockSE(nn.Module):
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name="bn2")(h)
             h = nn.relu(h)
-            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            # regenerate-in-backward dropout: same 'dropout' stream and fold
+            # path as nn.Dropout (name pins the rng fold), so the training
+            # trajectory is bit-identical; only the saved-mask HBM residual
+            # (~3.4 ms/step at maze5 b16) goes away (ops/dropout.py)
+            h = RDropout(self.dropout_rate, name="Dropout_0")(
+                h, deterministic=not train)
             h = nn.Conv(self.out_channels, (3,), padding="SAME",
                         dtype=self.dtype, name="conv2")(h)
             skip = x

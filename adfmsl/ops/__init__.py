@@ -1,4 +1,6 @@
+from adfmsl.ops.bn_act import BNAct, norm_act
 from adfmsl.ops.cmvn import cmvn
+from adfmsl.ops.dropout import RDropout, recompute_dropout
 from adfmsl.ops.lfcc import dct_matrix, lfcc, logmel
 from adfmsl.ops.mel import (
     apply_filterbank,
@@ -16,6 +18,7 @@ from adfmsl.ops.stft import power_spectrogram, stft_conv, stft_fft, stft_matmul
 from adfmsl.ops.window import frame, hann, num_frames
 
 __all__ = [
+    "BNAct", "norm_act", "RDropout", "recompute_dropout",
     "cmvn", "dct_matrix", "lfcc", "logmel",
     "apply_filterbank", "hz_to_mel", "linear_filterbank", "log_compress",
     "mel_filterbank", "mel_to_hz",
