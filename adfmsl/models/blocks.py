@@ -45,7 +45,10 @@ class SEBlock(nn.Module):
         s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
         if x is None:
             return s
-        return x * s[:, None, :]
+        # gate back at trunk width before the (B,T,C) multiply — an f32 gate
+        # promotes the whole block output and its backward to f32 (round-3
+        # lesson; measured 5.88 -> 5.27 ms fwd across maze5's 5 SE sites)
+        return x * s[:, None, :].astype(x.dtype)
 
 
 class _ConvParams(nn.Module):
