@@ -108,6 +108,32 @@ def test_tpu_block_bf16_bn_keeps_f32_stats():
     np.testing.assert_allclose(outs["f32"], outs["bf16"], rtol=5e-2, atol=5e-2)
 
 
+def test_se_gated_block_output_stays_at_trunk_width():
+    """Regression (round 4): the plain SEBlock multiplied the bf16 trunk by
+    the f32 sigmoid gate with no cast, promoting every SE block output (and
+    its backward) to f32 — double HBM traffic on the (B,T,C) tensors. The
+    gate must be cast to the trunk dtype before the multiply (round-3 rule,
+    already enforced in the fused-eval path and the RawNet attention)."""
+    from adfmsl.models.blocks import ResBlockSE, SEBlock
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 64, 16)).astype(np.float32))
+    for dt in (jnp.bfloat16, jnp.float32):
+        # blocks receive trunk-dtype inputs in the real models (mazes.py:150)
+        xb = x.astype(dt)
+        blk = ResBlockSE(16, 16, stride=1, dropout_rate=0.0, first=False,
+                         use_se=True, semantics="tpu", dtype=dt)
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, xb, train=False)
+        out, _ = blk.apply(variables, xb, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)},
+                           mutable=["batch_stats"])
+        assert out.dtype == dt, f"SE block output promoted to {out.dtype}"
+    # the bare module too: bf16 in -> bf16 out
+    se = SEBlock(16)
+    v = se.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16))
+    assert se.apply(v, x.astype(jnp.bfloat16)).dtype == jnp.bfloat16
+
+
 def test_tpu_block_strided_skip_survives_bn_saturation():
     """Regression (round 3), the strided-block variant of the same defect: the
     downsample conv must read RAW x, not relu(bn1(x)). With bn1's running mean
