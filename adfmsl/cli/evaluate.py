@@ -29,8 +29,12 @@ def build_parser():
     p.add_argument("--cut", type=int, default=None,
                    help="override fixed clip length in samples (default 64600)")
     p.add_argument("--no_drift", action="store_true")
+    p.add_argument("--fused_frontend", action="store_true",
+                   help="opt into the Pallas fused sinc front end (rawnet "
+                        "models, batch <= 16); the default segmented NHC "
+                        "composition measured faster at every batch (round 4)")
     p.add_argument("--no_fused_frontend", action="store_true",
-                   help="disable the Pallas fused sinc front end (rawnet models)")
+                   help="(compat no-op: the fused front end is opt-in now)")
     p.add_argument("--no_fused_trunk", action="store_true",
                    help="disable the Pallas fused eval SE-ResBlock trunk")
     p.add_argument("--smoke_test", action="store_true",
@@ -90,9 +94,11 @@ def main(argv=None) -> int:
     from adfmsl.models.mazes import SPECS
     if SPECS.get(args.model_type):
         # Eval-only Pallas kernels (interpret-mode on non-TPU backends):
-        # fused sinc+|.|+pool3 front end for rawnet models (2x the XLA
-        # composition on v5e) and the fused SE-ResBlock trunk for models with
-        # an SE-residual stack. Training is unaffected. Reference-parity
+        # the fused SE-ResBlock trunk for models with an SE-residual stack is
+        # the default; the fused sinc+|.|+pool3 front end became OPT-IN in
+        # round 4 — the time-segmented NHC composition (ops/sinc.py:
+        # sinc_abs_pool3_nhc_seg) beats the kernel at every batch (b8 3.20 vs
+        # 3.54 ms, b16 4.23 vs 5.76). Training is unaffected. Reference-parity
         # checkpoints (ported torch weights, experiment.yaml from
         # adfmsl-convert-maze) promise f32 <=1e-3 logit parity — the bf16
         # kernels would silently break that, so never force them on for them.
@@ -101,7 +107,8 @@ def main(argv=None) -> int:
                   or exp.model.dtype == "float32")
         if SPECS[args.model_type].frontend == "rawnet":
             exp.model.extra["fused_eval_frontend"] = (
-                not args.no_fused_frontend and not parity)
+                args.fused_frontend and not args.no_fused_frontend
+                and not parity)
         if (SPECS[args.model_type].blocks
                 or SPECS[args.model_type].frontend == "rawnet"):
             exp.model.extra["fused_eval_trunk"] = (

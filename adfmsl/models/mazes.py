@@ -122,7 +122,7 @@ class MazeModel(nn.Module):
                              # TPU (DEFAULT = 1-pass bf16 there)
                              precision=("highest" if cfg.dtype == "float32"
                                         else None),
-                             name="sinc")(x)
+                             name="sinc")(x, train=train)
             elif spec.frontend == "w2v2":
                 enc = Wav2Vec2Encoder(arch=self._w2v2_arch(), dtype=dtype,
                                       remat_layers=cfg.wav2vec2.remat_layers,

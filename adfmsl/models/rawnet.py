@@ -102,10 +102,11 @@ class RawNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # Front end: sinc conv -> |.| -> MaxPool(3) (main_fmsl_standardized.py:101-110).
-        # The epilogue lives inside SincConv (post='abs_pool3') so that with
-        # fused_eval_frontend=True the whole front end runs as ONE Pallas kernel at
-        # eval time (2x the XLA composition on v5e); fused_train_frontend=True
-        # runs it in the training forward pass too, via the kernel's custom VJP
+        # The epilogue lives inside SincConv (post='abs_pool3'): the default
+        # executor is the time-segmented NHC composition (round 4 — beats the
+        # Pallas kernel at every batch); fused_eval_frontend=True opts back
+        # into the kernel at batch <= 16, and fused_train_frontend=True runs
+        # it in the training forward pass too, via the kernel's custom VJP
         # (backward = XLA recompute, ops/pallas/sinc_fused.py).
         h = SincConv(self.sinc_channels, self.sinc_kernel, self.sample_rate,
                      formula=self.sinc_formula, post="abs_pool3",

@@ -223,6 +223,73 @@ def sinc_conv_s2d(x: jnp.ndarray, filters: jnp.ndarray, hop: int = 16,
     return out.reshape(b, j_out * hop, c)[:, :t_out, :]
 
 
+def _segment_time(x: jnp.ndarray, k: int, segments: int,
+                  round_to: int = 1) -> Tuple[jnp.ndarray, int, int]:
+    """Split (B, T) into ``segments`` overlapping windows stacked onto batch.
+
+    Each window carries l_out = ceil(t_out/segments) (rounded up to
+    ``round_to``) VALID-conv output positions plus the K-1 halo, so a stride-1
+    VALID conv over the (B*S, L_in) stack computes exactly the same sums as
+    over (B, T); the zero tail pad only feeds outputs that the caller slices
+    away. Returns (segmented x, l_out, t_out)."""
+    b, t = x.shape
+    t_out = t - k + 1
+    l_out = -(-t_out // segments)
+    l_out = -(-l_out // round_to) * round_to
+    l_in = l_out + k - 1
+    xp = jnp.pad(x, [(0, 0), (0, (segments - 1) * l_out + l_in - t)])
+    idx = np.arange(segments)[:, None] * l_out + np.arange(l_in)[None, :]
+    xs = jnp.take(xp, jnp.asarray(idx), axis=1)       # (B, S, L_in)
+    return xs.reshape(b * segments, l_in), l_out, t_out
+
+
+def sinc_conv_nhc_seg(x: jnp.ndarray, filters: jnp.ndarray, segments: int = 2,
+                      precision=None) -> jnp.ndarray:
+    """sinc_conv_nhc with the time axis split into ``segments`` batched windows.
+
+    XLA's NHC lowering of the K=251 stride-1 conv leaves throughput on the
+    table at long T: splitting T into S windows and batching them moves the
+    same FLOPs into a shape it tiles better. ISOLATED (sum-consumed) probe,
+    v5e, 64600 samples, K=251, C=128, fwd / fwd+dW ms: b16 native 5.31/7.19
+    -> seg3 3.10/5.01; b64 native 6.08/12.96 -> seg2 4.57/11.95. BUT the
+    restitch reshape (B*S, l, C) -> (B, S*l, C) is a physical copy that a
+    downstream conv consumer pays for (k3-consumer probe, b64 S=2: 13.8 ms vs
+    7.4 native): sum-consumed micro-benchmarks hide layout costs. Rounding
+    l_out to the 8-row sublane tile makes the restitch layout-compatible and
+    recovers the small-batch win with the consumer attached (b16 S=3: 4.67 vs
+    5.39 native; b64 still loses, 9.79) — hence round_to=8 here and the
+    batch<=16-only auto policy in models/sincnet.py. Exact parity with
+    sinc_conv_nhc (same VALID sums; tail-pad outputs sliced away)."""
+    c = filters.shape[0]
+    xs, l_out, t_out = _segment_time(x, filters.shape[1], segments, round_to=8)
+    y = sinc_conv_nhc(xs, filters, precision=precision)   # (B*S, l_out, C)
+    b = x.shape[0]
+    return y.reshape(b, segments * l_out, c)[:, :t_out, :]
+
+
+def sinc_abs_pool3_nhc_seg(x: jnp.ndarray, filters: jnp.ndarray,
+                           segments: int = 3, precision=None) -> jnp.ndarray:
+    """sinc_abs_pool3_nhc with per-segment epilogue (RawNet front end).
+
+    l_out is rounded to a multiple of 24 so (a) pool groups never straddle a
+    segment boundary — the max over each group sees exactly the same three
+    conv outputs as the unsegmented form (exact parity; the T' % 3 tail is
+    dropped by both forms) — and (b) the pooled per-segment row count
+    (l_out/3) is a multiple of the 8-row sublane tile, so the restitch
+    reshape is layout-compatible instead of a physical copy (see
+    sinc_conv_nhc_seg). Applying abs+pool3 per segment matters: the
+    segment-crossing variant (conv seg, epilogue on the restitched tensor)
+    measured SLOWER than native (9.12 vs 6.42 ms b16 fwd) because the restitch
+    materialises, while this form wins at b16 (fwd 4.32 vs 6.43,
+    fwd+dW 10.82 vs 12.61 ms) and ties at b64 (round-4 probes)."""
+    c = filters.shape[0]
+    xs, l_out, t_out = _segment_time(x, filters.shape[1], segments, round_to=24)
+    y = jnp.abs(sinc_conv_nhc(xs, filters, precision=precision))
+    b = x.shape[0]
+    y = jnp.max(y.reshape(b * segments, l_out // 3, 3, c), axis=2)
+    return y.reshape(b, segments * (l_out // 3), c)[:, : t_out // 3, :]
+
+
 def sinc_abs_pool3_nhc(x: jnp.ndarray, filters: jnp.ndarray,
                        precision=None) -> jnp.ndarray:
     """The RawNet front end as an NHC XLA composition:

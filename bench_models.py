@@ -53,8 +53,8 @@ def bench_model(name: str, batch_eval: int = 64, batch_train: int = 16):
     exp = make_experiment(name)
     # w2v2 models run the FULL architecture at random init (throughput is
     # weight-independent; no local checkpoint needed)
-    if name in ("main", "main_fmsl"):
-        exp.model.extra["fused_eval_frontend"] = True
+    # (the Pallas fused sinc front end became opt-in in round 4 — the
+    # segmented NHC composition wins at every batch; adfmsl-eval default)
     # production eval path: folded bf16 trunk (adfmsl-eval default)
     if SPECS.get(name) and (SPECS[name].blocks
                             or SPECS[name].frontend == "rawnet"):

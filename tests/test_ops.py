@@ -269,6 +269,36 @@ def test_sinc_conv_s2d_matches_nhc():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_sinc_seg_matches_unsegmented():
+    """Time-segmented sinc executors (ops/sinc.py:_segment_time — the round-4
+    small-batch win) must equal the unsegmented forms exactly: the overlapping
+    windows recompute the same VALID sums, tail-pad outputs are sliced away,
+    and the per-segment abs+pool3 epilogue keeps pool groups in-segment
+    (l_out rounded to 3). Grad w.r.t. filters must match within f32
+    accumulation-order noise."""
+    from adfmsl.ops.sinc import (sinc_abs_pool3_nhc, sinc_abs_pool3_nhc_seg,
+                                 sinc_conv_nhc, sinc_conv_nhc_seg)
+
+    low, band = sinc_init(32)
+    f = sinc_filters(jnp.asarray(low), jnp.asarray(band), 251, formula="textbook")
+    for t in (3000, 777, 2881):           # incl. t_out not divisible by S or 3
+        x = jnp.asarray(RNG.standard_normal((2, t)).astype(np.float32))
+        a = np.asarray(sinc_conv_nhc(x, f))
+        a3 = np.asarray(sinc_abs_pool3_nhc(x, f))
+        for s in (2, 3, 4):
+            b = np.asarray(sinc_conv_nhc_seg(x, f, s))
+            assert b.shape == a.shape
+            np.testing.assert_array_equal(a, b)
+            b3 = np.asarray(sinc_abs_pool3_nhc_seg(x, f, s))
+            assert b3.shape == a3.shape
+            np.testing.assert_array_equal(a3, b3)
+    x2 = jnp.asarray(RNG.standard_normal((2, 3000)).astype(np.float32))
+    g_ref = jax.grad(lambda f: jnp.sum(sinc_abs_pool3_nhc(x2, f) ** 2))(f)
+    g_seg = jax.grad(lambda f: jnp.sum(sinc_abs_pool3_nhc_seg(x2, f, 3) ** 2))(f)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_seg),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_lfcc_leading_batch_dims():
     """lfcc/power_spectrogram accept (..., T) per their contract — the default
     conv impl used to crash on >2-D inputs (hard-coded 2-D padding)."""
