@@ -299,6 +299,26 @@ def test_sinc_seg_matches_unsegmented():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sinc_segment_policy():
+    """The measured round-4 dispatch policy (models/sincnet.py:_auto_segments)
+    is behavior, not convention — pin it: bare conv segments at eval batch<=16
+    only (the backward restitch twin loses in the train step: 514 -> 466
+    utt/s), abs_pool3 segments train+eval at batch<=16 (main 788 -> 812), and
+    explicit ``segments`` overrides everything."""
+    from adfmsl.models.sincnet import SincConv
+
+    bare = SincConv(post="none")
+    assert bare._auto_segments(16, train=False) == 3
+    assert bare._auto_segments(16, train=True) == 1
+    assert bare._auto_segments(64, train=False) == 1
+    pool = SincConv(post="abs_pool3")
+    assert pool._auto_segments(16, train=True) == 3
+    assert pool._auto_segments(16, train=False) == 3
+    assert pool._auto_segments(64, train=False) == 1
+    forced = SincConv(post="none", segments=2)
+    assert forced._auto_segments(64, train=True) == 2
+
+
 def test_lfcc_leading_batch_dims():
     """lfcc/power_spectrogram accept (..., T) per their contract — the default
     conv impl used to crash on >2-D inputs (hard-coded 2-D padding)."""
