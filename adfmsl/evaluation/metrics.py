@@ -12,10 +12,31 @@ evaluation.runner.
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger("adfmsl.metrics")
+
+
+def _warn_if_degenerate(scores: np.ndarray) -> None:
+    """Warn when one exact score value dominates: an over-trained model's
+    log-softmax margins can exceed the f32 epsilon of logsumexp, cancelling
+    every score to exactly 0.0 — ranking metrics over ties are meaningless
+    (the torch reference saturates identically; its eval scripts would report
+    the same degenerate EER silently)."""
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size >= 4:
+        _, counts = np.unique(s, return_counts=True)
+        top = int(counts.max())
+        if top > s.size // 2:
+            log.warning(
+                "degenerate score distribution: %d/%d scores are exactly "
+                "equal (saturated log-softmax?); EER/DCF over ties is not "
+                "meaningful — deploy an earlier (best-dev) checkpoint",
+                top, s.size)
 
 
 def roc_points(scores: np.ndarray, labels: np.ndarray
@@ -40,6 +61,7 @@ def roc_points(scores: np.ndarray, labels: np.ndarray
 
 def compute_eer(scores, labels) -> Tuple[float, float]:
     """(eer, threshold) — reference's argmin |fnr - fpr| rule."""
+    _warn_if_degenerate(scores)
     fpr, fnr, thr = roc_points(scores, labels)
     i = int(np.argmin(np.abs(fnr - fpr)))
     # the reference reports fpr at that point (Maze5_eval.py:584-609); the midpoint

@@ -184,3 +184,25 @@ def test_parse_asv_scores_rejects_keyless_line(tmp_path):
         fh.write("- target 1.0\n- bogus 0.5\n")
     with pytest.raises(ValueError):
         parse_asv_scores(p)
+
+
+def test_degenerate_tie_warning(caplog):
+    """An over-trained model's log-softmax scores can all cancel to exactly
+    0.0 in f32 (margin > eps(logsumexp)); EER over ties is meaningless, so
+    compute_eer must say so (measured in the e2e saturation regime —
+    tests/test_e2e.py fixture notes)."""
+    import logging
+
+    from adfmsl.evaluation import compute_eer
+
+    ties = np.zeros(12)
+    labels = np.array([1, 0] * 6)
+    with caplog.at_level(logging.WARNING, logger="adfmsl.metrics"):
+        compute_eer(ties, labels)
+    assert any("degenerate score distribution" in r.message for r in caplog.records)
+
+    caplog.clear()
+    healthy = np.array([3.0, -2.0, 2.5, -1.0, 1.5, -2.5] * 2)
+    with caplog.at_level(logging.WARNING, logger="adfmsl.metrics"):
+        compute_eer(healthy, labels)
+    assert not any("degenerate" in r.message for r in caplog.records)
