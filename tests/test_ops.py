@@ -347,3 +347,35 @@ def test_stft_s2d_matches_conv_all_shapes():
         scale = float(jnp.max(jnp.abs(a)))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=3e-6 * scale)
+
+
+def test_sinc_filters_stay_materialised_before_the_conv():
+    """Perf-regression net for the round-4 operand-fusion fix: sinc_filters
+    ends in jax.lax.optimization_barrier so XLA cannot operand-fuse the
+    sin/where synthesis into the conv's weight read (which re-synthesizes the
+    filterbank PER OUTPUT TILE — measured 11.6 vs 5.0 ms on the b16 K=251
+    C=128 conv, maze5 train 304 -> 458 utt/s). The barrier is an identity for
+    values and grads, so only the traced program can prove it is still there."""
+    low, band = sinc_init(16)
+
+    def fwd(low, band):
+        return sinc_filters(jnp.asarray(low), jnp.asarray(band), 251,
+                            formula="textbook")
+
+    def has_barrier(jaxpr) -> bool:
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "optimization_barrier":
+                return True
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                if has_barrier(sub):
+                    return True
+        return False
+
+    jaxpr = jax.make_jaxpr(fwd)(low, band)
+    assert has_barrier(jaxpr.jaxpr), (
+        "sinc_filters lost its optimization_barrier — XLA will re-synthesize "
+        "the filterbank per conv output tile (round-4 PERF.md)")
+    # and it must be grad-transparent: d/d(low,band) flow through unchanged
+    g = jax.grad(lambda l, b: float(0) + jnp.sum(fwd(l, b) ** 2))(
+        jnp.asarray(low), jnp.asarray(band))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
