@@ -85,10 +85,17 @@ def test_fewshot_cli_drive(fixture_dir, tmp_path):
     """The adfmsl-fewshot CLI end-to-end (meta-train -> K-shot adapt -> score),
     including the folded-trunk default for the eval-mode embeds. The round-2
     verdict flagged that the CLI drive lived outside the suite."""
+    import os
     import subprocess
     import sys
 
     out = tmp_path / "fs_scores.txt"
+    # Force the subprocess onto CPU: conftest's jax.config CPU pin does not
+    # reach child interpreters, and the inherited shell env selects the REAL
+    # TPU ('axon') — the CLI drive would then contend for the single chip
+    # lease with any concurrent bench job, and this test's own timeout-kill
+    # of a mid-flight TPU client wedges the tunnel for ~6 min (CLAUDE.md).
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "adfmsl.cli.fewshot",
          "--model", "maze5",
@@ -98,7 +105,7 @@ def test_fewshot_cli_drive(fixture_dir, tmp_path):
          "--adapt_dir", fixture_dir["eval"]["audio_dir"],
          "--k_shot", "2", "--q_queries", "2", "--episodes_per_batch", "2",
          "--n_steps", "3", "--cut", "8000", "--output", str(out)],
-        capture_output=True, text=True, timeout=900)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     lines = out.read_text().strip().splitlines()
     # every non-support eval utterance scored, "utt_id score" format
