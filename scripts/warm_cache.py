@@ -45,12 +45,22 @@ def warm_entry() -> None:
           f"on {jax.default_backend()!r}")
 
 
-def warm_bench() -> None:
+def _run(cmd, what: str) -> None:
+    """Run one warm job as a subprocess so NO axon client lives in this
+    process while the next job runs (two concurrent clients contend for the
+    single chip lease — CLAUDE.md). Bounded with a generous timeout and
+    WAITED on rather than killed: killing a client that holds the TPU wedges
+    the tunnel for ~6 min."""
     t0 = time.time()
-    proc = subprocess.run([sys.executable, os.path.join(HERE, "bench.py")],
-                          capture_output=True, text=True)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write(f"{what} timed out after 3600s\n"
+                         + ((e.stderr or b"").decode(errors="replace")
+                            if isinstance(e.stderr, bytes) else (e.stderr or ""))[-2000:])
+        raise SystemExit(124)
     tail = (proc.stdout or "").strip().splitlines()
-    print(f"bench.py rc={proc.returncode} in {time.time() - t0:.1f}s")
+    print(f"{what} rc={proc.returncode} in {time.time() - t0:.1f}s")
     if tail:
         print(tail[-1])
     if proc.returncode != 0:
@@ -59,6 +69,11 @@ def warm_bench() -> None:
 
 
 if __name__ == "__main__":
-    warm_entry()
-    if "--entry-only" not in sys.argv:
-        warm_bench()
+    if "--entry-only" in sys.argv:
+        # child mode: the only place jax is imported / a TPU client created
+        warm_entry()
+    else:
+        # parent stays jax-free; each warm job gets its own short-lived client
+        _run([sys.executable, os.path.abspath(__file__), "--entry-only"],
+             "entry() warm")
+        _run([sys.executable, os.path.join(HERE, "bench.py")], "bench.py warm")

@@ -375,7 +375,8 @@ def test_sinc_filters_stay_materialised_before_the_conv():
     assert has_barrier(jaxpr.jaxpr), (
         "sinc_filters lost its optimization_barrier — XLA will re-synthesize "
         "the filterbank per conv output tile (round-4 PERF.md)")
-    # and it must be grad-transparent: d/d(low,band) flow through unchanged
-    g = jax.grad(lambda l, b: float(0) + jnp.sum(fwd(l, b) ** 2))(
-        jnp.asarray(low), jnp.asarray(band))
-    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+    # and it must be grad-transparent: BOTH d/d(low) and d/d(band) flow through
+    g_low, g_band = jax.grad(lambda l, b: jnp.sum(fwd(l, b) ** 2),
+                             argnums=(0, 1))(jnp.asarray(low), jnp.asarray(band))
+    for g in (g_low, g_band):
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
