@@ -28,6 +28,8 @@ class ArchitectureConfig:
     nb_gru_layer: int = 1          # RawNet GRU depth (reference yaml stacks 3)
     dropout_rate: float = 0.3
     fc_dropout: float = 0.5
+    transformer_dropout: float = 0.1   # encoder-stack dropout (maze6.py:237,
+                                       # model_config_Maze6.yaml transformer_dropout)
     # 'textbook' = real windowed-sinc band-pass (default: the reference's formula is
     # nearly flat across taps — see ops/sinc.py — and carries almost no spectral
     # information); 'reference' reproduces maze4.py:93-95 bit-for-bit for parity.
@@ -85,6 +87,7 @@ class FMSLConfig:
     # computed but dead, fc1/fc2 classifier scores; models/mazes.py).
     mode: str = "replace"
     prototype_loss_weight: float = 0.1
+    proj_dropout: float = 0.1       # projection MLP dropout (fmsl_advanced.py:133)
 
 
 @dataclass
@@ -123,11 +126,13 @@ class OptimizerConfig:
     # maze6.py:666-678 put wav2vec2 params in a lower-LR group)
     backbone_lr_scale: float = 0.1
     scheduler: str = "constant"     # 'constant' | 'cosine' | 'step' | 'warmup_cosine' | 'plateau'
+    min_lr: float = 0.0             # cosine eta_min (maze6.py:590 --min_lr 1e-7)
     warmup_steps: int = 0
     step_size: int = 10
     step_gamma: float = 0.5
     plateau_patience: int = 2
     plateau_factor: float = 0.5
+    plateau_mode: str = "min"       # maze6_fmsl plateaus on valid_accuracy -> 'max'
 
 
 @dataclass

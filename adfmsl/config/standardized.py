@@ -36,6 +36,28 @@ FMSL_DRIFT: Dict[str, Dict[str, Any]] = {
     "maze8_fmsl": {"s": 2.0, "m": 0.05},
 }
 
+# Per-model OPTIMIZER drift vs the standardized claim (lr 1e-4, wd 1e-4,
+# grad_clip 1.0 — fmsl_standardized_config.py:53,125), read off the actual
+# argparse defaults and train_epoch bodies:
+#   - main/maze2/maze3 (+ main_fmsl) train_epochs contain NO clip_grad_norm_
+#     call at all -> grad_clip_norm 0.0 (main.py:58-90, maze2.py:345-374);
+#   - maze6 baseline: lr 5e-5, wd 5e-4 (maze6.py:578-580);
+#   - maze5_fmsl: lr 1e-3, clip 5.0 (maze5_fmsl_standardized.py:538-540);
+#   - maze4/6/7/8_fmsl: lr 1e-5 ("EXTREMELY reduced LR to prevent NaN",
+#     e.g. maze7_fmsl_standardized.py:471).
+OPT_DRIFT: Dict[str, Dict[str, float]] = {
+    "main": {"grad_clip_norm": 0.0},
+    "maze2": {"grad_clip_norm": 0.0},
+    "maze3": {"grad_clip_norm": 0.0},
+    "maze6": {"lr": 5e-5, "weight_decay": 5e-4},
+    "main_fmsl": {"grad_clip_norm": 0.0},
+    "maze4_fmsl": {"lr": 1e-5},
+    "maze5_fmsl": {"lr": 1e-3, "grad_clip_norm": 5.0},
+    "maze6_fmsl": {"lr": 1e-5},
+    "maze7_fmsl": {"lr": 1e-5},
+    "maze8_fmsl": {"lr": 1e-5},
+}
+
 # Integration mode per FMSL model (SURVEY.md section 2.3 Modes A/B/C).
 FMSL_MODES: Dict[str, str] = {
     "main_fmsl": "replace",
@@ -127,15 +149,30 @@ def make_experiment(name: str, drift: bool = True, **overrides) -> ExperimentCon
     # AdamW everywhere the reference builds torch.optim.AdamW: baselines
     # maze4/5/6/7/8 (e.g. maze4.py:482) and every *_fmsl_standardized file
     # except main_fmsl (Adam, main_fmsl_standardized.py:378); main/maze2/maze3
-    # baselines use Adam (main.py:187, maze2.py:437, maze3.py:317).
+    # baselines use Adam (main.py:187, maze2.py:437). maze3's config SAYS
+    # {'type': 'AdamW', ...CosineAnnealingLR} but create_optimizer/create_
+    # scheduler read the 'name' key (maze3.py:312, :330) — so it actually runs
+    # Adam(wd=1e-4) with NO scheduler. Torch Adam's weight_decay is coupled L2
+    # (handled in train/optim.py:_base_optimizer).
     if is_fmsl:
         opt = OptimizerConfig(name="adam" if base == "main" else "adamw")
     else:
         opt = OptimizerConfig(
             name="adamw" if base in {"maze4", "maze5", "maze6", "maze7", "maze8"}
             else "adam")
+    # Structural scheduler choices (not numeric drift): maze6 baseline runs
+    # CosineAnnealingLR (maze6.py:691-694); maze6_fmsl runs ReduceLROnPlateau
+    # (mode='max' on dev accuracy, maze6_fmsl_standardized.py:684-686, :749).
     if base == "maze6":
-        opt.scheduler = "cosine"
+        if is_fmsl:
+            opt.scheduler, opt.plateau_mode = "plateau", "max"
+        else:
+            opt.scheduler, opt.min_lr = "cosine", 1e-7
+    # Numeric optimizer drift vs the standardized claim (lr 1e-4, wd 1e-4,
+    # clip 1.0) — reference-faithful defaults, suppressed by drift=False:
+    if drift and name in OPT_DRIFT:
+        for k, v in OPT_DRIFT[name].items():
+            setattr(opt, k, v)
 
     exp = ExperimentConfig(
         model=ModelConfig(

@@ -69,7 +69,7 @@ class FMSLHead(nn.Module):
         h = nn.Dense(d, name="proj")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="proj_bn")(h)
         h = nn.relu(h)
-        h = nn.Dropout(0.1, deterministic=not train)(h)
+        h = nn.Dropout(self.cfg.proj_dropout, deterministic=not train)(h)
 
         if self.cfg.enable_lsa and train:
             noise = jax.random.normal(self.make_rng("lsa"), h.shape, h.dtype)
@@ -102,7 +102,10 @@ class FMSLHead(nn.Module):
             spoof = (labels == 0).astype(logits.dtype)
             if mask is not None:
                 spoof = spoof * mask.astype(logits.dtype)
-            proto_loss = jnp.sum((1.0 - best) * spoof) / jnp.maximum(jnp.sum(spoof), 1.0)
+            # exactly fmsl_advanced.py:346-353: -mean over spoof of the best
+            # prototype similarity (0 when the batch has no spoof — the +1e-8
+            # denominator makes the single formula cover that branch)
+            proto_loss = -jnp.sum(best * spoof) / (jnp.sum(spoof) + 1e-8)
             out["ce_loss"] = masked_mean(ce, mask)
             out["proto_loss"] = proto_loss
             # Mode B consumers take ce_loss (reference applies external CE and never

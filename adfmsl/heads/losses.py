@@ -54,21 +54,47 @@ def masked_mean(values: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.
     return jnp.sum(values * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def compute_loss(name: str, logits, labels, *, class_weights=None,
-                 focal_alpha=0.25, focal_gamma=2.0, mask=None):
-    """Dispatch by LossConfig.name; returns a scalar."""
-    if name in ("ce", "weighted_ce"):
-        per = cross_entropy(logits, labels,
-                            class_weights if name == "weighted_ce" else None)
+def loss_parts(name: str, logits, labels, *, class_weights=None,
+               focal_alpha=0.25, focal_gamma=2.0, mask=None):
+    """(numerator_sum, denominator_sum) such that loss == num/denom.
+
+    Separating the reduction lets a data-parallel shard psum the two sums and
+    recover the EXACT single-device loss (ratio of global sums), where a
+    mean-of-per-shard-ratios would drift whenever shards carry different label
+    mixes (weighted CE divides by the shard's target-weight sum)."""
+    if name == "weighted_ce" and class_weights is not None:
+        # torch nn.CrossEntropyLoss(weight=w, reduction='mean') divides by the
+        # SUM OF TARGET WEIGHTS, not the batch size: sum(w_yi*ce_i)/sum(w_yi)
+        # (main.py:66-67's criterion). Dividing by N instead rescales the loss
+        # ~2x on a balanced batch with [0.1,0.9] — a silent lr change.
+        w = jnp.take(jnp.asarray(class_weights, dtype=logits.dtype), labels)
+        per = _ce(logits, labels) * w
+        denom_w = w
+    elif name in ("ce", "weighted_ce"):
+        per = cross_entropy(logits, labels, None)
+        denom_w = jnp.ones_like(per)
     elif name == "focal_ce":
         per = focal_ce(logits, labels, focal_alpha, focal_gamma)
+        denom_w = jnp.ones_like(per)
     elif name == "focal_bce":
         per = focal_bce(logits, labels, focal_alpha, focal_gamma)
+        denom_w = jnp.ones_like(per)
     elif name == "fmsl":
         # FMSL models normally return their own loss; reaching here means the model
         # didn't (e.g. labels routed but head bypassed) — fall back to plain CE
         # rather than silently training on nothing.
         per = cross_entropy(logits, labels)
+        denom_w = jnp.ones_like(per)
     else:
         raise ValueError(f"unknown loss {name!r}")
-    return masked_mean(per, mask)
+    m = jnp.ones_like(per) if mask is None else mask.astype(per.dtype)
+    return jnp.sum(per * m), jnp.sum(denom_w * m)
+
+
+def compute_loss(name: str, logits, labels, *, class_weights=None,
+                 focal_alpha=0.25, focal_gamma=2.0, mask=None):
+    """Dispatch by LossConfig.name; returns a scalar."""
+    num, denom = loss_parts(name, logits, labels, class_weights=class_weights,
+                            focal_alpha=focal_alpha, focal_gamma=focal_gamma,
+                            mask=mask)
+    return num / jnp.maximum(denom, 1e-8)

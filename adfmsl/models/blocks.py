@@ -41,8 +41,12 @@ class SEBlock(nn.Module):
         # frames is otherwise too lossy (same rule as the RawNet FC attention)
         s = (jnp.mean(x.astype(jnp.float32), axis=1)
              if pooled is None else pooled)                        # (B, C)
-        s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1), name="fc1")(s))
-        s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
+        # bias-free like the reference SE (maze5.py:154-157 Linear(bias=False)):
+        # a trainable bias here would be a structural drift the train-parity
+        # harness flags — torch has no such parameter to update
+        s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1),
+                             use_bias=False, name="fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, use_bias=False, name="fc2")(s))
         if x is None:
             return s
         # gate back at trunk width before the (B,T,C) multiply — an f32 gate

@@ -184,12 +184,14 @@ class MazeModel(nn.Module):
                                      name="bn_before_transformer")(h)
                     h = PlainTransformerEncoder(
                         d_model=d, n_heads=heads, n_layers=layers, d_ff=ff,
+                        dropout_rate=cfg.architecture.transformer_dropout,
                         dtype=dtype, name="transformer")(h, train=train)
                 else:
                     h = TransformerEncoderStack(
                         in_dim=h.shape[-1], d_model=d, n_heads=heads,
-                        n_layers=layers, d_ff=ff, out_dim=h.shape[-1], dtype=dtype,
-                        name="transformer")(h, train=train)
+                        n_layers=layers, d_ff=ff, out_dim=h.shape[-1],
+                        dropout_rate=cfg.architecture.transformer_dropout,
+                        dtype=dtype, name="transformer")(h, train=train)
 
             if spec.pooling == "asp":
                 pooled = AttentiveStatsPooling(h.shape[-1], use_std=spec.asp_std,
@@ -234,10 +236,14 @@ class MazeModel(nn.Module):
             # gradient ever reaches it through the loss). Reproduced exactly for
             # ported-checkpoint parity; the fixed default for maze6_fmsl stays
             # 'replace' (config/standardized.py FMSL_MODES).
+            # the reference feeds the pooled trunk straight into the FMSL
+            # system (fmsl_input_dim == pooled dim for every assembly) — an
+            # inserted projection Dense would be a trainable structural drift
+            # (same class as the removed 'main' fc1; round-5 parity harness)
             fdim = spec.fmsl_input_dim
-            feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
+            assert pooled.shape[-1] == fdim, (pooled.shape, fdim)
             head = FMSLHead(fmsl_cfg, input_dim=fdim, name="fmsl")
-            fout = head(feats, labels=labels, train=train, mask=mask)
+            fout = head(pooled, labels=labels, train=train, mask=mask)
             out["features"] = fout["embeddings"]
             out["prototype_similarity"] = fout["prototype_similarity"]
             h2 = nn.Dense(spec.fc1, name="fc1")(pooled)
@@ -246,10 +252,12 @@ class MazeModel(nn.Module):
                             deterministic=not train)(h2)
             logits = nn.Dense(cfg.architecture.nb_classes, name="fc2")(h2)
         else:
+            # Modes B/C: pooled trunk -> FMSL system directly (see the
+            # fallback branch's drift note)
             fdim = spec.fmsl_input_dim
-            feats = nn.Dense(fdim, name="fmsl_projection")(pooled)
+            assert pooled.shape[-1] == fdim, (pooled.shape, fdim)
             head = FMSLHead(fmsl_cfg, input_dim=fdim, name="fmsl")
-            fout = head(feats, labels=labels, train=train, mask=mask)
+            fout = head(pooled, labels=labels, train=train, mask=mask)
             out["features"] = fout["embeddings"]
             out["prototype_similarity"] = fout["prototype_similarity"]
             logits = fout["logits"]
@@ -282,8 +290,11 @@ _W2V2_BLOCKS_MAZE6 = ((1024, 128, 1), (128, 128, 2), (128, 128, 2), (128, 128, 2
 _W2V2_BLOCKS_MAZE3 = ((128, 128, 2), (128, 128, 2), (128, 256, 2))
 
 SPECS = {
+    # fc1=None: the literal RawNet head is fc1_gru -> fc2_gru with nothing in
+    # between (test_port.TRawNet; main_fmsl_standardized.py:101-157) — the
+    # generic fc1 stage would be a trainable structural drift here
     "main": MazeSpec("main", "rawnet", ref="01_Baseline_Models/main.py:182",
-                     score="log_softmax"),
+                     score="log_softmax", fc1=None),
     "maze2": MazeSpec("maze2", "w2v2", ref="maze2.py:119-193",
                       blocks=_W2V2_BLOCKS_MAZE2,
                       transformer=(256, 8, 6, 2048), transformer_plain=True,

@@ -121,8 +121,8 @@ class _Mapper:
 
     def se(self, tkey: str, *path: str):
         """Reference SEBlock: fc.0 / fc.2, bias-free (maze4.py:149-163)."""
-        self.dense(f"{tkey}.fc.0", *path, "fc1", bias=False, zero_bias_dim=-1)
-        self.dense(f"{tkey}.fc.2", *path, "fc2", bias=False, zero_bias_dim=-1)
+        self.dense(f"{tkey}.fc.0", *path, "fc1", bias=False)
+        self.dense(f"{tkey}.fc.2", *path, "fc2", bias=False)
 
     def res_block(self, tkey: str, *path: str, first: bool = False,
                   skip_key: str = "conv_downsample"):
@@ -317,28 +317,18 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         m.dense(f"{pre}fc1_gru", "encoder", "fc1_gru")
         if is_fmsl:
             # Mode B (main_fmsl_standardized.py:160-174): fc1_gru output feeds
-            # the FMSL system directly — fmsl_projection becomes identity.
+            # the FMSL system directly (no projection layer on either side).
             m.fmsl("fmsl_system", "fmsl")
-            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-            m.params["fmsl_projection"] = {
-                "kernel": np.eye(d, dtype=np.float32),
-                "bias": np.zeros(d, dtype=np.float32),
-            }
         else:
-            # original RawNet head is fc1_gru -> fc2_gru; adfmsl 'main' inserts
-            # a Dense fc1 between them — identity-fill it (dropout is eval no-op)
-            w2 = None
+            # original RawNet head is fc1_gru -> fc2_gru and adfmsl 'main'
+            # matches it exactly (SPECS['main'].fc1=None since round 5 — the
+            # earlier identity-filled extra fc1 was a structural drift whose
+            # parameters TRAINED away from identity, caught by the train-parity
+            # harness); fc2_gru maps straight onto the fc2 head
             for k in ("fc2_gru", "fc2"):
                 if f"{k}.weight" in m.sd:
-                    w2 = k
+                    m.dense(k, "fc2")
                     break
-            if w2:
-                m.dense(w2, "fc2")
-                d = int(m.params["fc2"]["kernel"].shape[0])
-                m.params["fc1"] = {
-                    "kernel": np.eye(d, dtype=np.float32),
-                    "bias": np.zeros(d, dtype=np.float32),
-                }
     elif base in ("maze4", "maze5"):
         m.raw("sinc_conv.low_hz_", "sinc", "low_hz", reshape=(-1,))
         m.raw("sinc_conv.band_hz_", "sinc", "band_hz", reshape=(-1,))
@@ -354,13 +344,8 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
         if model_name == "maze4_fmsl":
             # Mode C (maze4_fmsl_standardized.py:216-347): pooled feeds the FMSL
-            # system directly — adfmsl's fmsl_projection becomes identity.
+            # system directly (no projection layer on either side).
             m.fmsl("fmsl_system", "fmsl")
-            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-            m.params["fmsl_projection"] = {
-                "kernel": np.eye(d, dtype=np.float32),
-                "bias": np.zeros(d, dtype=np.float32),
-            }
         else:
             m.dense("fc1", "fc1")
             m.dense("fc2", "fc2")
@@ -381,13 +366,8 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             m.conv_fmsl("fmsl_layer", "conv_fmsl")
         if is_fmsl:
             # pooled 256 feeds the FMSL system directly (maze7_fmsl_standardized
-            # .py:179-291) — fmsl_projection becomes identity
+            # .py:179-291); no projection layer on either side
             m.fmsl("fmsl_system", "fmsl")
-            d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-            m.params["fmsl_projection"] = {
-                "kernel": np.eye(d, dtype=np.float32),
-                "bias": np.zeros(d, dtype=np.float32),
-            }
         else:
             m.dense("fc1", "fc1")
             m.dense("fc2", "fc2")
@@ -442,11 +422,6 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             m.se(f"se_blocks.{i}", "trunk", f"block{i + 1}", "se")
         m.asp_conv("attentive_pooling", "asp")   # the file's Conv1d-attn ASP
         m.fmsl("fmsl_system", "fmsl")
-        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-        m.params["fmsl_projection"] = {
-            "kernel": np.eye(d, dtype=np.float32),
-            "bias": np.zeros(d, dtype=np.float32),
-        }
         # the 'fallback' classifier is the checkpoint's LIVE head (the FMSL
         # logits path KeyErrors and is silently swallowed,
         # maze6_fmsl_standardized.py:345-361) — map it to fc1/fc2
@@ -472,11 +447,6 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
             i += 1
         m.dense("transformer.output_projection", "transformer", "out_proj")
         m.fmsl("fmsl_system", "fmsl")
-        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-        m.params["fmsl_projection"] = {
-            "kernel": np.eye(d, dtype=np.float32),
-            "bias": np.zeros(d, dtype=np.float32),
-        }
     elif model_name == "maze2_fmsl":
         # maze2_fmsl_standardized.py:394-487 under FIXED semantics. The
         # reference forward cannot run: pooled 256-d features pass through a
@@ -484,7 +454,7 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         # input_dim=256 (:427-434 "Use 256 dimensions to match checkpoint" vs
         # :466-470) — an unconditional shape crash, so the lazy projection is
         # dead weight in any checkpoint. Port the checkpoint-compatible intent:
-        # pooled 256 feeds the FMSL system directly (fmsl_projection identity).
+        # pooled 256 feeds the FMSL system directly (no projection layer).
         m.w2v2_backbone("", arch=w2v2_arch)
         m.conv("feature_projection", "proj")
         m.bn("first_bn", "first_bn")
@@ -495,11 +465,6 @@ def port_maze_state_dict(sd: Dict[str, np.ndarray], model_name: str,
         m.sd.pop("fmsl_projection.weight", None)   # the dead lazy Linear
         m.sd.pop("fmsl_projection.bias", None)
         m.fmsl("fmsl_system", "fmsl")
-        d = int(m.params["fmsl"]["proj"]["kernel"].shape[0])
-        m.params["fmsl_projection"] = {
-            "kernel": np.eye(d, dtype=np.float32),
-            "bias": np.zeros(d, dtype=np.float32),
-        }
     elif model_name == "maze3":
         # maze3.py:101-164: projection, three maze3-variant blocks (internal SE,
         # 'shortcut' skip), MLP classifier with ReLU

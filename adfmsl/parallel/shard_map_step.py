@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from adfmsl.config.base import ExperimentConfig
-from adfmsl.heads.losses import compute_loss
+from adfmsl.heads.losses import loss_parts
 from adfmsl.train.state import TrainState
 from adfmsl.train.steps import _zero_nonfinite
 
@@ -56,20 +56,33 @@ def make_shard_map_train_step(exp: ExperimentConfig, mesh: Mesh):
             out, mut = apply_fn(variables, audio, labels=labels, train=True,
                                 mask=mask, rngs=rngs, mutable=["batch_stats"])
             if "loss" in out:
-                loss = out["loss"]
-            else:
-                loss = compute_loss(lcfg.name, out["logits"], labels,
+                # model-internal loss (FMSL modes): a per-shard mean; averaged
+                # across shards below (equal shard sizes => exact for its CE
+                # term; the proto term keeps DDP loss-averaging semantics)
+                return out["loss"], (None, out, mut.get("batch_stats", batch_stats))
+            # external loss: differentiate the NUMERATOR sum and psum num/denom
+            # separately so the global loss/grads equal the single-device values
+            # EXACTLY even when shards carry different label mixes (weighted CE
+            # divides by the shard's target-weight sum — losses.loss_parts)
+            num, denom = loss_parts(lcfg.name, out["logits"], labels,
                                     class_weights=lcfg.class_weights,
                                     focal_alpha=lcfg.focal_alpha,
                                     focal_gamma=lcfg.focal_gamma, mask=mask)
-            return loss, (out, mut.get("batch_stats", batch_stats))
+            return num, (denom, out, mut.get("batch_stats", batch_stats))
 
-        (loss, (out, new_bs)), grads = jax.value_and_grad(
+        (val, (denom, out, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
 
         # ---- the explicit collectives: psum/pmean over the data axis (ICI) ----
-        grads = jax.lax.pmean(grads, axis_name=data_axis)
-        loss = jax.lax.pmean(loss, axis_name=data_axis)
+        if denom is None:
+            grads = jax.lax.pmean(grads, axis_name=data_axis)
+            loss = jax.lax.pmean(val, axis_name=data_axis)
+        else:
+            gdenom = jnp.maximum(
+                jax.lax.psum(denom, axis_name=data_axis), 1e-8)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, axis_name=data_axis) / gdenom, grads)
+            loss = jax.lax.psum(val, axis_name=data_axis) / gdenom
         pred = jnp.argmax(out["logits"], axis=-1)
         correct = jnp.sum((pred == labels) * mask)
         count = jnp.sum(mask)

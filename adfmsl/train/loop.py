@@ -247,7 +247,7 @@ class Trainer:
             from adfmsl.train.optim import PlateauTracker, set_plateau_scale
 
             plateau = PlateauTracker(ocfg.plateau_patience, ocfg.plateau_factor,
-                                     mode="min")
+                                     mode=ocfg.plateau_mode)
         # epochs continue across fit() calls (profile-then-train, resume):
         # restarting at 0 would reuse per-epoch RNG streams, overwrite
         # checkpoint/metric records, and re-shuffle identically
@@ -272,7 +272,13 @@ class Trainer:
                                {"dev_acc": dev_acc, "dev_eer": dev_eer,
                                 "train_loss": tm["loss"]})
             if plateau is not None:
-                watch = dev_eer if not np.isnan(dev_eer) else tm["loss"]
+                # 'min' watches dev EER (falling back to train loss without a
+                # dev set); 'max' watches dev accuracy (maze6_fmsl plateaus on
+                # valid_accuracy, maze6_fmsl_standardized.py:749)
+                if plateau.mode == "max":
+                    watch = dev_acc if not np.isnan(dev_acc) else tm["acc"]
+                else:
+                    watch = dev_eer if not np.isnan(dev_eer) else tm["loss"]
                 old_scale = plateau.scale
                 new_scale = plateau.update(watch)
                 if new_scale != old_scale:

@@ -25,8 +25,11 @@ def make_schedule(cfg: OptimizerConfig, steps_per_epoch: int, num_epochs: int):
     if cfg.scheduler == "constant":
         return optax.constant_schedule(cfg.lr)
     if cfg.scheduler == "cosine":
-        # CosineAnnealingLR(T_max=num_epochs) analog (maze6.py:691-694)
-        return optax.cosine_decay_schedule(cfg.lr, decay_steps=total)
+        # CosineAnnealingLR(T_max=num_epochs, eta_min=min_lr) analog
+        # (maze6.py:691-694, eta_min=args.min_lr=1e-7). Decays per STEP (smooth)
+        # rather than torch's per-epoch staircase — same endpoints, no recompile.
+        alpha = (cfg.min_lr / cfg.lr) if cfg.lr else 0.0
+        return optax.cosine_decay_schedule(cfg.lr, decay_steps=total, alpha=alpha)
     if cfg.scheduler == "step":
         # StepLR(step_size, gamma) analog
         bounds = {
@@ -78,11 +81,26 @@ def get_plateau_scale(opt_state) -> float:
 
 def _base_optimizer(cfg: OptimizerConfig, schedule) -> optax.GradientTransformation:
     if cfg.name == "adam":
-        return optax.adam(schedule)
+        # torch.optim.Adam(weight_decay=wd) is COUPLED L2: wd*p is added to the
+        # GRADIENT before the moment updates (main.py:187, maze2.py:437,
+        # maze3.py:317 — all pass wd=1e-4). optax.adam has no decay; build the
+        # torch-equivalent chain explicitly.
+        stages = []
+        if cfg.weight_decay:
+            stages.append(optax.add_decayed_weights(cfg.weight_decay))
+        stages += [optax.scale_by_adam(), optax.scale_by_learning_rate(schedule)]
+        return optax.chain(*stages)
     if cfg.name == "adamw":
+        # torch.optim.AdamW: DEcoupled decay, applied with the group lr —
+        # optax.adamw matches (maze4.py:482 etc.)
         return optax.adamw(schedule, weight_decay=cfg.weight_decay)
     if cfg.name == "sgd":
-        return optax.sgd(schedule, momentum=cfg.momentum)
+        # torch SGD weight_decay is likewise coupled L2 (maze3.py:320)
+        stages = []
+        if cfg.weight_decay:
+            stages.append(optax.add_decayed_weights(cfg.weight_decay))
+        stages.append(optax.sgd(schedule, momentum=cfg.momentum))
+        return optax.chain(*stages)
     raise ValueError(f"unknown optimizer {cfg.name!r}")
 
 
@@ -157,8 +175,12 @@ def make_optimizer(exp: ExperimentConfig, steps_per_epoch: int):
     def scaled(s):
         return lambda step: s(step) * ocfg.backbone_lr_scale
 
+    # main/maze2/maze3 and main_fmsl never clip gradients (their train_epochs
+    # have no clip_grad_norm_ call); grad_clip_norm<=0 disables the stage so the
+    # chain matches the reference construction per model
     stages = [
-        optax.clip_by_global_norm(ocfg.grad_clip_norm),
+        optax.clip_by_global_norm(ocfg.grad_clip_norm)
+        if ocfg.grad_clip_norm and ocfg.grad_clip_norm > 0 else optax.identity(),
         optax.multi_transform(
             {
                 "main": _base_optimizer(ocfg, schedule),

@@ -113,3 +113,64 @@ def test_fewshot_cli_drive(fixture_dir, tmp_path):
     assert len(lines) == len(proto.utt_ids) - 4   # 2 classes x k_shot support
     utt, score = lines[0].split()
     float(score)
+
+
+@pytest.mark.slow
+def test_fewshot_adaptation_beats_zero_shot_on_shifted_domain(fixture_dir, tmp_path):
+    """BASELINE config #5's cross-dataset, unseen-attack condition (VERDICT r4
+    #8): meta-train on the lab fixture, then evaluate on a distribution-shifted
+    'in-the-wild' domain (generate_wild_fixture: mu-law codec + telephone
+    band-limit + hum/pink-noise channel on BOTH classes; unseen vocoder-style
+    attack). The gate is RELATIVE, replacing the loose EER<=0.25 bound:
+    K-shot adaptation with in-domain support must beat zero-shot prototypes
+    built from source-domain support."""
+    from adfmsl.data import generate_wild_fixture, SyntheticSpec
+
+    exp = make_experiment("maze5")
+    exp.data.cut = 8000
+    fcfg = FewshotConfig(n_way=2, k_shot=2, q_queries=2, episodes_per_batch=2,
+                         n_steps=24, lr=1e-3)
+    proto = parse_protocol(fixture_dir["train"]["protocol"])
+    ds = AsvspoofDataset(proto, fixture_dir["train"]["audio_dir"], cut=exp.data.cut)
+    trainer = FewshotTrainer(exp, fcfg, proto, ds)
+    trainer.fit()
+
+    wild = generate_wild_fixture(str(tmp_path / "wild"),
+                                 SyntheticSpec(n_eval=32, seed=11))["eval"]
+    wild_proto = parse_protocol(wild["protocol"])
+    wild_ds = AsvspoofDataset(wild_proto, wild["audio_dir"], cut=exp.data.cut)
+    wild_labels = wild_proto.labels
+
+    def support_from(dset, prot, k):
+        xs, ys = [], []
+        for cls in (0, 1):
+            ids = [u for u in prot.utt_ids if prot.labels[u] == cls][:k]
+            for u in ids:
+                xs.append(dset.load(u)[0])
+                ys.append(cls)
+        return np.stack(xs), np.asarray(ys), set(
+            u for cls in (0, 1)
+            for u in [u for u in prot.utt_ids if prot.labels[u] == cls][:k])
+
+    # zero-shot: prototypes from SOURCE-domain support only
+    src_x, src_y, _ = support_from(ds, proto, k=2)
+    zero_protos = trainer.adapt(src_x, src_y)
+
+    # K-shot: prototypes from 2 in-the-wild shots per class
+    wild_x, wild_y, held_in = support_from(wild_ds, wild_proto, k=2)
+    kshot_protos = trainer.adapt(wild_x, wild_y)
+
+    def eer_of(protos):
+        scores = trainer.score_protocol(wild_ds, protos, batch_size=8)
+        # exclude the K-shot support utterances from BOTH conditions
+        utts = [u for u in scores if u not in held_in]
+        y = np.asarray([wild_labels[u] for u in utts])
+        s = np.asarray([scores[u] for u in utts])
+        eer, _ = compute_eer(s, y)
+        return float(eer)
+
+    eer_zero, eer_kshot = eer_of(zero_protos), eer_of(kshot_protos)
+    assert np.isfinite(eer_zero) and np.isfinite(eer_kshot)
+    # the shift must actually hurt zero-shot transfer (else this gate is 0<=0)
+    assert eer_zero > 0.0, "wild domain not hard enough for a meaningful gate"
+    assert eer_kshot <= eer_zero, (eer_kshot, eer_zero)

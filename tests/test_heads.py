@@ -34,6 +34,45 @@ def test_weighted_ce():
                                rtol=1e-6)
 
 
+def test_weighted_ce_reduction_matches_torch():
+    """torch CrossEntropyLoss(weight, reduction='mean') divides by the sum of
+    TARGET weights, not N (main.py:66-67). compute_loss must match — the ~2x
+    scale difference on a balanced batch is a silent lr change otherwise."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((6, 2)).astype(np.float32)
+    labels = np.array([0, 1, 1, 0, 1, 1])
+    for w in ([0.1, 0.9], [0.3, 0.7]):
+        ref = torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+            torch.from_numpy(logits), torch.from_numpy(labels)).item()
+        got = float(compute_loss("weighted_ce", jnp.asarray(logits),
+                                 jnp.asarray(labels), class_weights=w))
+        assert got == pytest.approx(ref, rel=1e-5)
+    # masked form: masked-out rows contribute to neither sum
+    mask = np.array([1, 1, 1, 1, 0, 0], dtype=bool)
+    ref = torch.nn.CrossEntropyLoss(weight=torch.tensor([0.1, 0.9]))(
+        torch.from_numpy(logits[:4]), torch.from_numpy(labels[:4])).item()
+    got = float(compute_loss("weighted_ce", jnp.asarray(logits),
+                             jnp.asarray(labels), class_weights=[0.1, 0.9],
+                             mask=jnp.asarray(mask)))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_loss_parts_recompose():
+    from adfmsl.heads.losses import loss_parts
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.standard_normal((8, 2)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, 8))
+    for name in ["ce", "weighted_ce", "focal_ce", "focal_bce"]:
+        num, den = loss_parts(name, logits, labels, class_weights=[0.3, 0.7])
+        whole = compute_loss(name, logits, labels, class_weights=[0.3, 0.7])
+        assert float(num / den) == pytest.approx(float(whole), rel=1e-6)
+        # two half-batches psum'd recompose the full-batch loss exactly
+        n1, d1 = loss_parts(name, logits[:4], labels[:4], class_weights=[0.3, 0.7])
+        n2, d2 = loss_parts(name, logits[4:], labels[4:], class_weights=[0.3, 0.7])
+        assert float((n1 + n2) / (d1 + d2)) == pytest.approx(float(whole), rel=1e-6)
+
+
 def test_focal_ce_downweights_easy():
     """Focal loss (maze2.py:195-207): well-classified examples shrink by (1-pt)^gamma."""
     easy = jnp.asarray([[5.0, -5.0]])

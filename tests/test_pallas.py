@@ -181,3 +181,35 @@ def test_fused_trunk_rawnet_parity():
     np.testing.assert_allclose(a, b, rtol=0, atol=3e-2 * max(1.0, np.abs(a).max()))
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
         fused_model.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+
+
+def test_bn_relu_bwd_matches_autodiff():
+    """bn_relu_train's two-pass Pallas backward must reproduce jax.grad of the
+    plain train-mode BN+relu composition (f32 CPU interpreter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adfmsl.ops.pallas.bn_relu_bwd import bn_relu_train
+
+    rng = np.random.default_rng(17)
+    B, T, C = 2, 700, 128          # T*B=1400: not a multiple of the row tile
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    beta = jnp.asarray(rng.uniform(-0.3, 0.3, C).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+
+    def ref(x, g, b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(0, 1))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1)) - jnp.square(mu)
+        y = g * (xf - mu) * jax.lax.rsqrt(var + 1e-5) + b
+        return jnp.maximum(y, 0.0)
+
+    y_ref, vjp_ref = jax.vjp(ref, x, gamma, beta)
+    y_got, vjp_got = jax.vjp(
+        lambda x, g, b: bn_relu_train(x, g, b, 1e-5, True), x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(vjp_got(ct), vjp_ref(ct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=2e-3)

@@ -1,4 +1,5 @@
-"""The thesis's central quality claim, asserted offline (round-4 VERDICT item 4).
+"""The thesis's central quality claim, asserted offline (round-4 VERDICT item 4;
+round-5 item 5 widened it to multiple seeds and a second model pair).
 
 The reference's analysis compares each baseline maze EER against its FMSL
 variant and reports the improvement
@@ -7,13 +8,20 @@ WUT-Thesis/tex/6-experimental-validation.tex:17 claims FMSL improves EER over
 the baseline). No ASVspoof corpus or trained checkpoint exists in this
 environment, so the claim is reproduced on a *hard* synthetic fixture
 (``SyntheticSpec.class_sep < 1`` blends shared broadband noise into both
-classes so trained models land at a nonzero EER): maze5 and maze5_fmsl train
-seed-matched on identical data for identical steps, and the FMSL variant's
-eval EER must not be worse than the baseline's.
+classes so trained models land at a nonzero EER).
+
+Round-4's single-seed ordering was thin evidence (the round's own e2e findings
+showed final-state assertions are structurally unstable): the gate is now the
+MEDIAN over three seeds, per pair — maze5/maze5_fmsl (Mode A refine, sinc
+trunk) and maze7/maze7_fmsl (Mode C integrated, w2v2 trunk on the tiny local
+encoder). Per-seed inversions are tolerated; a median inversion fails.
 
 Everything is deterministic (fixed seeds, CPU backend via conftest), so the
 assertion is a regression gate, not a statistical coin flip.
 """
+import os
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -23,6 +31,8 @@ from adfmsl.config import make_experiment
 from adfmsl.data import SyntheticSpec, generate_fixture, parse_protocol
 from adfmsl.evaluation import evaluate_to_file
 from adfmsl.train import Trainer, make_dataset_and_loader
+
+SEEDS = [0, 1, 2]
 
 
 @pytest.fixture(scope="module")
@@ -36,14 +46,17 @@ def hard_fixture(tmp_path_factory):
     return info
 
 
-def _train_and_eval_eer(name: str, info) -> float:
+def _train_and_eval_eer(name: str, info, seed: int, tiny_w2v2=False) -> float:
     exp = make_experiment(name)
     exp.data.cut = 16000
     exp.train.batch_size = 8
     exp.train.num_epochs = 12            # past BN running-stat convergence
-    exp.train.optimizer.lr = 1e-3
-    exp.train.seed = 0                   # seed-matched pair
+    exp.train.optimizer.lr = 1e-3        # shared lr: seed-matched PAIRS only
+    exp.train.optimizer.grad_clip_norm = 1.0
+    exp.train.seed = seed
     exp.model.spec_augment.enabled = False
+    if tiny_w2v2:
+        exp.model.wav2vec2.model_name = "tiny"
     train_proto = parse_protocol(info["train"]["protocol"])
     dev_proto = parse_protocol(info["dev"]["protocol"])
     train_loader = make_dataset_and_loader(exp, train_proto,
@@ -59,7 +72,6 @@ def _train_and_eval_eer(name: str, info) -> float:
     loader = make_dataset_and_loader(exp, eval_proto, info["eval"]["audio_dir"],
                                      shuffle=False, batch_size=8,
                                      drop_last=False)
-    import tempfile, os
     with tempfile.TemporaryDirectory() as td:
         res = evaluate_to_file(trainer.state, loader,
                                os.path.join(td, f"{name}.txt"),
@@ -68,12 +80,21 @@ def _train_and_eval_eer(name: str, info) -> float:
     return float(res.metrics["eer"])
 
 
-def test_fmsl_improves_or_matches_baseline_eer(hard_fixture):
-    base = _train_and_eval_eer("maze5", hard_fixture)
-    fmsl = _train_and_eval_eer("maze5_fmsl", hard_fixture)
-    # the fixture is hard enough that the baseline is off the floor — the
-    # comparison is meaningful, not 0 <= 0
-    assert base > 0.0
-    assert np.isfinite(base) and np.isfinite(fmsl)
-    # the thesis claim (baseline-vs-FMSL delta >= 0), mirrored as a gate
-    assert fmsl <= base
+def _pair_medians(base_name, fmsl_name, info, tiny=False):
+    bases = [_train_and_eval_eer(base_name, info, s, tiny) for s in SEEDS]
+    fmsls = [_train_and_eval_eer(fmsl_name, info, s, tiny) for s in SEEDS]
+    assert all(np.isfinite(bases)) and all(np.isfinite(fmsls))
+    return bases, fmsls
+
+
+def test_fmsl_improves_or_matches_baseline_eer_maze5(hard_fixture):
+    bases, fmsls = _pair_medians("maze5", "maze5_fmsl", hard_fixture)
+    # the fixture is hard enough that the baseline is off the floor in
+    # aggregate — the comparison is meaningful, not 0 <= 0
+    assert float(np.median(bases)) > 0.0, bases
+    assert float(np.median(fmsls)) <= float(np.median(bases)), (fmsls, bases)
+
+
+def test_fmsl_improves_or_matches_baseline_eer_maze7(hard_fixture):
+    bases, fmsls = _pair_medians("maze7", "maze7_fmsl", hard_fixture, tiny=True)
+    assert float(np.median(fmsls)) <= float(np.median(bases)), (fmsls, bases)
