@@ -77,7 +77,9 @@ def test_data_parallel_train_step_matches_single_device():
         s8, m8 = step(state_r, a_s, l_s, m_s, rng)
 
     # sharded reductions reorder float accumulation; small tolerance expected
-    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-3)
+    # (2e-3: round-5's loss_parts num/denom split runs TWO global reductions,
+    # and the 8-way reorder noise measured right at the old 1e-3 edge)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-3)
     # first-step Adam moves each weight by ~±lr*sign(grad); roundoff-level grad
     # differences can flip the sign of near-zero grads, so the bound is 2*lr + slack
     # + ulp-scale slack for large-magnitude params (sinc cutoffs are O(1e3) Hz)
@@ -188,7 +190,7 @@ def test_trainer_mesh_data_parallel_matches_single_device(fixture_dir):
     h1 = run(None)
     h8 = run(make_mesh(MeshConfig()))
     for a, b in zip(h1, h8):
-        assert a.train_loss == pytest.approx(b.train_loss, rel=1e-3)
+        assert a.train_loss == pytest.approx(b.train_loss, rel=2e-3)  # see above
         assert a.dev_acc == pytest.approx(b.dev_acc, abs=1e-6)
         assert a.dev_eer == pytest.approx(b.dev_eer, abs=1e-6)
 
