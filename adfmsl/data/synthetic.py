@@ -82,31 +82,33 @@ def _hard_pair(rng: np.random.Generator, n: int, sr: int, bona: bool,
 
 def _wild_channel(rng: np.random.Generator, x: np.ndarray, sr: int) -> np.ndarray:
     """'In-the-wild' transmission chain applied to BOTH classes: mu-law
-    companding (lossy-codec analog), 300-3400 Hz telephone band-limit via FFT
-    brick-wall, 50 Hz mains hum, and pink-ish noise. None of these artifacts
-    exist in the lab-domain generator above — the domain shift hits bonafide
-    and spoof alike, so source-domain prototypes transfer poorly while the
-    class fingerprint stays learnable from a few in-domain shots."""
-    mu = 255.0
+    companding (lossy-codec analog), a 200-5500 Hz channel band-limit, 50 Hz
+    mains hum, and pink-ish noise. None of these artifacts exist in the
+    lab-domain generator above. Calibrated as a SHIFT, not destruction: the
+    class-discriminative cues partially survive (a few in-domain shots can
+    re-center the prototypes) while source-domain prototype positions go
+    stale — the condition BASELINE config #5 describes."""
+    mu = 64.0
     y = np.sign(x) * np.log1p(mu * np.abs(x) / (np.abs(x).max() + 1e-9)) / np.log1p(mu)
     spec = np.fft.rfft(y)
     freqs = np.fft.rfftfreq(len(y), 1.0 / sr)
-    spec[(freqs < 300) | (freqs > 3400)] *= 0.02
+    spec[(freqs < 150) | (freqs > 7600)] *= 0.05
     y = np.fft.irfft(spec, len(y)).astype(np.float32)
     t = np.arange(len(y)) / sr
-    hum = 0.05 * np.sin(2 * np.pi * 50.0 * t + rng.uniform(0, 2 * np.pi))
+    hum = 0.03 * np.sin(2 * np.pi * 50.0 * t + rng.uniform(0, 2 * np.pi))
     pink = np.fft.irfft(
         np.fft.rfft(rng.standard_normal(len(y))) / np.maximum(freqs, 1.0) ** 0.5,
         len(y))
-    pink = 0.04 * pink / (np.abs(pink).max() + 1e-9)
+    pink = 0.02 * pink / (np.abs(pink).max() + 1e-9)
     return (y + hum + pink).astype(np.float32)
 
 
 def _wild_spoof(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
-    """Unseen attack family: a 'neural-vocoder' caricature — the harmonic
-    voice re-synthesised from a coarsely quantised envelope with inter-harmonic
-    metallic ringing at 2.7x f0 — entirely unlike the lab domain's
-    noise-bed spectral notch."""
+    """Unseen attack family: a 'neural-vocoder' caricature — harmonic voice
+    re-synthesised from a coarsely quantised envelope, inter-harmonic metallic
+    ringing at 2.7x f0, over a notched noise bed. The bed keeps the attack in
+    a cue family the lab embedder can represent (noise-bed presence); the
+    quantisation/ring components are new."""
     t = np.arange(n) / sr
     f0 = rng.uniform(110.0, 220.0)
     env = rng.uniform(0.2, 0.5, size=4)
@@ -115,7 +117,8 @@ def _wild_spoof(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
                                       + rng.uniform(0, 2 * np.pi))
             for k in range(4))
     ring = 0.15 * np.sin(2 * np.pi * 2.7 * f0 * t) * np.abs(x)
-    return (x + ring + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    bed = _spoof(rng, n, sr)                          # lab-style notched noise
+    return (0.7 * x + ring + 0.8 * bed).astype(np.float32)
 
 
 def generate_wild_fixture(root: str, spec: SyntheticSpec = SyntheticSpec()) -> dict:

@@ -157,14 +157,17 @@ def test_fused_trunk_rawnet_parity():
     from adfmsl.config import make_experiment
     from adfmsl.models import build_model
 
+    # local rng: the shared module RNG made this test's inputs depend on which
+    # tests ran before it (an order-dependent near-tolerance flake, round 5)
+    rng = np.random.default_rng(52)
     exp = make_experiment("main")
     exp.data.cut = 9000
     model = build_model(exp.model)
-    x = jnp.asarray(RNG.standard_normal((2, 9000)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 9000)).astype(np.float32))
     v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     stats = jax.tree.map(
         lambda a: jnp.abs(jnp.asarray(
-            RNG.standard_normal(a.shape).astype(np.float32) * 0.3)) + 0.1,
+            rng.standard_normal(a.shape).astype(np.float32) * 0.3)) + 0.1,
         v["batch_stats"])
     v = {**v, "batch_stats": stats}
     plain = model.apply(v, x, train=False)
@@ -174,10 +177,11 @@ def test_fused_trunk_rawnet_parity():
     exp2.model.extra["fused_eval_trunk"] = True
     fused_model = build_model(exp2.model)
     fused = fused_model.apply(v, x, train=False)
-    a = np.asarray(plain["scores"], np.float32)
-    b = np.asarray(fused["scores"], np.float32)
-    # both trunks run bf16 (main's default dtype); the folded path only
-    # re-associates the BN affines, so the bf16-grade tolerance applies
+    # compare LOGITS: both trunks run bf16 (main's default dtype) and the
+    # folded path only re-associates the BN affines, so bf16-grade tolerance
+    # applies there; log-softmax SCORES amplify near-tied logits arbitrarily
+    a = np.asarray(plain["logits"], np.float32)
+    b = np.asarray(fused["logits"], np.float32)
     np.testing.assert_allclose(a, b, rtol=0, atol=3e-2 * max(1.0, np.abs(a).max()))
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
         fused_model.init({"params": jax.random.PRNGKey(0)}, x, train=False))

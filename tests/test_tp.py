@@ -115,7 +115,8 @@ def test_tp_forward_matches_replicated_full_depth():
     w2v2 = variables["params"]["wav2vec2"]
     layer_keys = [k for k in w2v2 if k.startswith("layers_")]
     assert len(layer_keys) == 12, sorted(layer_keys)
-    assert w2v2["layers_0"]["attention"]["query"]["kernel"].shape == (768, 768)
+    # flax MultiHeadDotProductAttention kernels are (in_dim, heads, head_dim)
+    assert w2v2["layers_0"]["attention"]["query"]["kernel"].shape == (768, 12, 64)
 
     ref = model.apply(variables, x, train=False)["logits"]
 
