@@ -39,9 +39,10 @@ def time_vjp(f, args, ct, iters=ITERS):
     @jax.jit
     def run(args, ct):
         def body(c, _):
-            perturbed = tuple(a + c * jnp.asarray(1e-9, a.dtype) for a in args)
+            # keep each arg's dtype: c is an f32 carry and would promote bf16
+            perturbed = tuple(a + (c * 1e-9).astype(a.dtype) for a in args)
             y, vjp = jax.vjp(f, *perturbed)
-            grads = vjp((ct + c * jnp.asarray(1e-9, ct.dtype)).astype(y.dtype))
+            grads = vjp((ct + (c * 1e-9).astype(ct.dtype)).astype(y.dtype))
             s = sum(jnp.sum(g.astype(jnp.float32)) for g in grads)
             s = s + jnp.sum(y.astype(jnp.float32))
             return c + s * 1e-30, None
@@ -73,17 +74,18 @@ def measure(B, T, C, dtype=jnp.bfloat16):
         lambda x, g, b: bn_relu_train(x, g, b, 1e-5, False),
         (x, gamma, beta), ct)
 
+    # no preferred_element_type: its transpose rule feeds an f32 cotangent to
+    # a bf16-weight conv and trips the dtype check; native bf16 output is fine
+    # for a timing probe (MXU still accumulates f32 internally)
     def plain_conv(x, g, b):
         h = plain_bn_relu(x, g, b)
         return jax.lax.conv_general_dilated(
-            h, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32).astype(dtype)
+            h, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"))
 
     def pallas_conv(x, g, b):
         h = bn_relu_train(x, g, b, 1e-5, False)
         return jax.lax.conv_general_dilated(
-            h, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32).astype(dtype)
+            h, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"))
 
     out["A_plain_conv"] = time_vjp(plain_conv, (x, gamma, beta), ctc)
     out["B_pallas_conv"] = time_vjp(pallas_conv, (x, gamma, beta), ctc)

@@ -48,8 +48,8 @@ def time_fn(fn, x, iters=ITERS):
 
 
 def main():
-    from adfmsl.ops.lfcc import lfcc
-    from adfmsl.ops.mel import (apply_filterbank, dct_matrix, linear_filterbank,
+    from adfmsl.ops.lfcc import dct_matrix, lfcc
+    from adfmsl.ops.mel import (apply_filterbank, linear_filterbank,
                                 log_compress)
     from adfmsl.ops.stft import stft_s2d
 
